@@ -1,0 +1,98 @@
+"""On-device episode statistics + host-side metrics sink.
+
+Stateful gym wrappers (``RecordEpisodeStatistics``) cannot live inside a
+jitted program, so episode returns/lengths are tracked in a fixed-shape
+PyTree threaded through the rollout scan — the pattern the reference's XLA
+path uses (reference: cleanrl/ppo_atari_envpool_xla_jax.py:158-164,206-229,
+rationale documented at docs/rl-algorithms/ppo.md:606).
+
+Host side, :class:`MetricsWriter` writes the reference's standardized metric
+names (``charts/episodic_return``, ``losses/*``, ``charts/SPS`` — reference:
+src/train.py:269-279) to TensorBoard, and mirrors the hyperparameter
+markdown table (reference: src/train.py:85-88).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Mapping, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EpisodeStatistics:
+    """Per-env running episode accumulators, all fixed-shape device arrays."""
+
+    episode_returns: jnp.ndarray  # (num_envs,) running sum of raw rewards
+    episode_lengths: jnp.ndarray  # (num_envs,) running step count
+    returned_episode_returns: jnp.ndarray  # (num_envs,) last completed return
+    returned_episode_lengths: jnp.ndarray  # (num_envs,) last completed length
+    episode_count: jnp.ndarray  # () total completed episodes
+
+    @classmethod
+    def create(cls, num_envs: int) -> "EpisodeStatistics":
+        z = jnp.zeros(num_envs, dtype=jnp.float32)
+        return cls(
+            episode_returns=z,
+            episode_lengths=z,
+            returned_episode_returns=z,
+            returned_episode_lengths=z,
+            episode_count=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    def update(self, reward: jnp.ndarray, done: jnp.ndarray) -> "EpisodeStatistics":
+        """Accumulate one vectorized env step (raw, pre-clip rewards)."""
+        done_f = done.astype(jnp.float32)
+        new_returns = self.episode_returns + reward
+        new_lengths = self.episode_lengths + 1.0
+        return EpisodeStatistics(
+            episode_returns=new_returns * (1.0 - done_f),
+            episode_lengths=new_lengths * (1.0 - done_f),
+            returned_episode_returns=jnp.where(
+                done, new_returns, self.returned_episode_returns
+            ),
+            returned_episode_lengths=jnp.where(
+                done, new_lengths, self.returned_episode_lengths
+            ),
+            episode_count=self.episode_count + done.astype(jnp.int32).sum(),
+        )
+
+
+class MetricsWriter:
+    """TensorBoard sink with the reference's standardized scalar names."""
+
+    def __init__(self, run_name: str, config: Optional[Any] = None, root: str = "runs"):
+        from torch.utils.tensorboard import SummaryWriter  # lazy: heavy import
+
+        self.run_name = run_name
+        self.writer = SummaryWriter(f"{root}/{run_name}")
+        self.start_time = time.time()
+        if config is not None:
+            import dataclasses
+
+            items = (
+                dataclasses.asdict(config).items()
+                if dataclasses.is_dataclass(config)
+                else vars(config).items()
+            )
+            table = "|param|value|\n|-|-|\n" + "\n".join(
+                f"|{k}|{v}|" for k, v in items
+            )
+            self.writer.add_text("hyperparameters", table)
+
+    def scalar(self, tag: str, value: Any, step: int) -> None:
+        self.writer.add_scalar(tag, float(value), step)
+
+    def scalars(self, values: Mapping[str, Any], step: int) -> None:
+        for tag, value in values.items():
+            self.scalar(tag, value, step)
+
+    def sps(self, global_step: int) -> float:
+        sps = global_step / max(time.time() - self.start_time, 1e-9)
+        self.scalar("charts/SPS", sps, global_step)
+        return sps
+
+    def close(self) -> None:
+        self.writer.close()

@@ -1,0 +1,47 @@
+"""Environment registry: `make(env_id)` like the reference's make_env thunks.
+
+Keeps the reference's env ids (`minecraft` from src/train.py:49,
+classic-control gym ids from cleanrl/ppo.py) so launch commands carry over.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from mmtrl_tpu.envs.base import Environment
+
+registry: Dict[str, Callable[..., Environment]] = {}
+
+
+def register(*names: str):
+    def deco(factory):
+        for n in names:
+            registry[n.lower()] = factory
+        return factory
+
+    return deco
+
+
+def make(env_id: str, **kwargs) -> Environment:
+    key = env_id.lower()
+    if key not in registry:
+        # Lazy-populate on first use.
+        _populate()
+    if key not in registry:
+        raise KeyError(
+            f"unknown env {env_id!r}; available: {sorted(registry)}"
+        )
+    return registry[key](**kwargs)
+
+
+def _populate() -> None:
+    from mmtrl_tpu.envs.classic import Acrobot, CartPole, MountainCar, Pendulum
+    from mmtrl_tpu.envs.doorpuzzle import Doorpuzzle
+    from mmtrl_tpu.envs.minecraft2d import Minecraft2d
+
+    register("CartPole-v1", "CartPole")(CartPole)
+    register("Acrobot-v1", "Acrobot")(Acrobot)
+    register("MountainCar-v0", "MountainCar")(MountainCar)
+    register("Pendulum-v1", "Pendulum")(Pendulum)
+    register("minecraft", "Minecraft2d")(Minecraft2d)
+    register("doorpuzzle", "Doorpuzzle")(Doorpuzzle)
