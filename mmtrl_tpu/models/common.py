@@ -1,0 +1,73 @@
+"""Shared network building blocks (flax linen).
+
+Initialization follows the CleanRL convention the reference uses everywhere:
+orthogonal kernels (sqrt(2) hidden, 0.01 policy head, 1.0 value head) with
+zero biases (reference: src/utils.py:146-149).
+
+Layout is TPU-native NHWC (channel-last) so XLA tiles convs onto the MXU
+without transposes; agents slice the (C, H, W) observation channels and
+append the trailing channel axis themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def ortho(scale: float = float(np.sqrt(2))):
+    return nn.initializers.orthogonal(scale)
+
+
+ZEROS = nn.initializers.zeros
+
+
+class AtariTower(nn.Module):
+    """The Nature-CNN tower, 'big' (512-d) or 'small' (256-d) per the
+    reference's conv_factory (src/agents.py:30-55).
+
+    Input (B, 84, 84, 1) scaled by the caller; output (B, feature_size).
+    """
+
+    size: str = "big"  # 'big' | 'small'
+
+    @property
+    def feature_size(self) -> int:
+        return 512 if self.size == "big" else 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.size == "big":
+            widths, kernels, strides = (32, 64, 64), (8, 4, 3), (4, 2, 1)
+        elif self.size == "small":
+            widths, kernels, strides = (16, 32), (8, 4), (4, 2)
+        else:
+            raise ValueError(f"unknown tower size {self.size!r}")
+        for w, k, s in zip(widths, kernels, strides):
+            x = nn.Conv(
+                w, (k, k), strides=(s, s), padding="VALID",
+                kernel_init=ortho(), bias_init=ZEROS,
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(self.feature_size, kernel_init=ortho(), bias_init=ZEROS)(x)
+        return nn.relu(x)
+
+
+class MLPTower(nn.Module):
+    """Tanh MLP trunk for vector observations (the reference's classic
+    control agents, cleanrl/ppo.py)."""
+
+    widths: Sequence[int] = (64, 64)
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = {"tanh": nn.tanh, "relu": nn.relu}[self.activation]
+        for w in self.widths:
+            x = nn.Dense(w, kernel_init=ortho(), bias_init=ZEROS)(x)
+            x = act(x)
+        return x

@@ -1,0 +1,319 @@
+"""Causal flash attention as a Pallas TPU kernel (fwd + custom VJP).
+
+The decision transformer's hot op (BASELINE.json north star: "causal
+attention + MLP over trajectory tokens runs as a Pallas flash-attention
+block").  Never materializes the (S, S) score matrix in HBM: each grid
+program streams K/V blocks through VMEM with the online-softmax recurrence,
+and the backward pass recomputes probabilities blockwise from the saved
+logsumexp (standard flash-attention-2 structure).
+
+Layout: (B, H, S, D) with D the head dim (128 recommended — one MXU lane
+tile).  All matmuls run on the MXU with float32 accumulation; inputs may be
+bfloat16.  Falls back to a jnp reference (same math, XLA-fused) off-TPU so
+CPU tests and the driver's virtual-device dryrun run the identical module
+code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+# =============================================================================
+# Reference implementation (CPU fallback + test oracle)
+# =============================================================================
+def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Causal attention, (B, H, S, D) -> (B, H, S, D)."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    S = q.shape[-2]
+    mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+# =============================================================================
+# Forward kernel
+# =============================================================================
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k, scale):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+    seq_len = k_ref.shape[1]
+    num_kb = pl.cdiv((qi + 1) * block_q, block_k)  # causal horizon
+
+    q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bq, Bk)
+        k_ids = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    d = q_ref.shape[-1]
+    acc = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
+    l = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m, l))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # (Bq, 1)
+
+
+def _fwd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, h, s, d = q.shape
+    bh = b * h
+    scale = d**-0.5
+    qf = q.reshape(bh, s, d)
+    kf = k.reshape(bh, s, d)
+    vf = v.reshape(bh, s, d)
+    grid = (bh, pl.cdiv(s, block_q))
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, block_q=block_q, block_k=block_k, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0)),
+            pl.BlockSpec((1, s, d), lambda bh_, i: (bh_, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda bh_, i: (bh_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, i: (bh_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qf, kf, vf)
+    return o.reshape(b, h, s, d), lse.reshape(b, h, s)
+
+
+def _lse_delta_specs(s, block, full):
+    """(1, block_q, 1)-shaped specs for the per-row lse/delta tensors."""
+    if full:
+        return pl.BlockSpec((1, s, 1), lambda bh_, j: (bh_, 0, 0))
+    return pl.BlockSpec((1, block, 1), lambda bh_, i: (bh_, i, 0))
+
+
+# =============================================================================
+# Backward kernels
+# =============================================================================
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_q, block_k, scale
+):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (Bq, 1)
+    delta = delta_ref[0]  # (Bq, 1)
+    num_kb = pl.cdiv((qi + 1) * block_q, block_k)
+    q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(j, dq_acc):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_ids = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        p = jnp.where(q_ids >= k_ids, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq_acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, block_q, block_k, scale,
+):
+    kj = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    seq_len = q_ref.shape[1]
+    num_qb = pl.cdiv(seq_len, block_q)
+    first_qb = (kj * block_k) // block_q  # earlier q blocks are fully masked
+    k_ids = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]  # (Bq, 1)
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        q_ids = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        p = jnp.where(q_ids >= k_ids, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    d = k_ref.shape[-1]
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(first_qb, num_qb, body, (zeros, zeros))
+    # dk already includes the q-side scale; no extra factor.
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(
+    block_q: int,
+    block_k: int,
+    res,
+    g: jnp.ndarray,
+):
+    q, k, v, o, lse = res
+    b, h, s, d = q.shape
+    bh = b * h
+    scale = d**-0.5
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B,H,S)
+
+    qf, kf, vf = (x.reshape(bh, s, d) for x in (q, k, v))
+    dof = g.reshape(bh, s, d)
+    lsef = lse.reshape(bh, s, 1)
+    deltaf = delta.reshape(bh, s, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, block_q=block_q, block_k=block_k, scale=scale
+        ),
+        grid=(bh, pl.cdiv(s, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0)),
+            pl.BlockSpec((1, s, d), lambda bh_, i: (bh_, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda bh_, i: (bh_, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, i: (bh_, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, i: (bh_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh_, i: (bh_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, block_q=block_q, block_k=block_k, scale=scale
+        ),
+        grid=(bh, pl.cdiv(s, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bh_, j: (bh_, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0)),
+            pl.BlockSpec((1, s, d), lambda bh_, j: (bh_, 0, 0)),
+            pl.BlockSpec((1, s, 1), lambda bh_, j: (bh_, 0, 0)),
+            pl.BlockSpec((1, s, 1), lambda bh_, j: (bh_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, j: (bh_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    reshape = lambda x: x.reshape(b, h, s, d)  # noqa: E731
+    return reshape(dq), reshape(dk), reshape(dv)
+
+
+# =============================================================================
+# Public entry
+# =============================================================================
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention(q, k, v, block_q, block_k):
+    o, _ = _fwd(q, k, v, block_q, block_k)
+    return o
+
+
+def _flash_fwd(q, k, v, block_q, block_k):
+    o, lse = _fwd(q, k, v, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+_flash_attention.defvjp(_flash_fwd, _bwd)
+
+
+def causal_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    force_pallas: bool = False,
+) -> jnp.ndarray:
+    """Causal multi-head attention, (B, H, S, D) -> (B, H, S, D).
+
+    Uses the Pallas kernel on TPU when S divides evenly into blocks; falls
+    back to the fused-jnp reference otherwise (CPU tests, virtual-device
+    dryruns, tiny sequences where kernel launch overhead dominates).
+    """
+    s = q.shape[-2]
+    on_tpu = jax.default_backend() == "tpu"
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    divisible = s % block_q == 0 and s % block_k == 0
+    if force_pallas or (on_tpu and divisible and s >= 256):
+        return _flash_attention(q, k, v, block_q, block_k)
+    return mha_reference(q, k, v)

@@ -1,0 +1,43 @@
+"""PPO with a diagonal-Gaussian policy — the reference's
+cleanrl/ppo_continuous_action.py surface on the device-resident Pendulum
+(MuJoCo's C engine is host-bound; see envs/classic/pendulum.py).
+
+    python scripts/ppo_continuous_action.py --env-id Pendulum-v1
+"""
+
+import dataclasses
+
+from _common import BasePPOArgs, field, ppo_config_from
+
+from mmtrl_tpu.algos.ppo import make_continuous_ppo
+from mmtrl_tpu.algos.ppo.runner import run_training
+from mmtrl_tpu.core.config import cli
+from mmtrl_tpu.envs import make
+from mmtrl_tpu.models import ContinuousActorCritic
+
+
+@dataclasses.dataclass
+class Args(BasePPOArgs):
+    exp_name: str = field("ppo_continuous_action", "the name of this experiment")
+    env_id: str = field("Pendulum-v1", "the id of the environment")
+    total_timesteps: int = field(1000000, "total timesteps")
+    learning_rate: float = field(3e-4, "learning rate")
+    num_steps: int = field(2048, "rollout length")
+    num_minibatches: int = field(32, "mini-batches")
+    update_epochs: int = field(10, "update epochs")
+    ent_coef: float = field(0.0, "entropy coefficient")
+    clip_rewards: bool = field(False, "continuous control uses raw rewards")
+    rpo_alpha: float = field(0.0, "RPO mean-perturbation radius (0 disables)")
+
+
+def main(args=None):
+    args = args or cli(Args)
+    env = make(args.env_id)
+    cfg = ppo_config_from(args, rpo_alpha=args.rpo_alpha)
+    model = ContinuousActorCritic(action_dim=env.action_space.shape[0])
+    init_runner, train_iteration = make_continuous_ppo(env, model, cfg)
+    return run_training(init_runner, train_iteration, cfg, args)
+
+
+if __name__ == "__main__":
+    main()
