@@ -1,0 +1,147 @@
+"""Trajectory data for the offline (decision transformer) phase.
+
+The reference's online phase persists nothing reusable for offline training
+(its checkpoint pickles the agent, not trajectories — src/utils.py:23-44).
+Here the online rollout machinery doubles as the dataset writer: a policy is
+scanned over the vectorized device env, returns-to-go are computed with a
+segmented reverse lax.scan, and fixed-length context windows are sampled
+directly on device — no host-side episode bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mmtrl_tpu.envs.base import Environment
+
+
+def returns_to_go(rewards: jnp.ndarray, dones: jnp.ndarray) -> jnp.ndarray:
+    """Undiscounted within-episode returns-to-go over time-major (T, N).
+
+    ``dones[t]`` marks the END of the episode at step t (the flag returned
+    by env.step), so the accumulation resets AFTER including step t's reward.
+    """
+
+    def body(carry, inp):
+        r, d = inp
+        # done[t] ends the episode AT t: nothing from t+1 flows back in.
+        rtg = r + (1.0 - d) * carry
+        return rtg, rtg
+
+    _, rtg = jax.lax.scan(
+        body,
+        jnp.zeros(rewards.shape[1], dtype=jnp.float32),
+        (rewards.astype(jnp.float32), dones.astype(jnp.float32)),
+        reverse=True,
+    )
+    return rtg
+
+
+@struct.dataclass
+class TrajectoryBuffer:
+    """Flat time-major storage of (T, N) vectorized rollouts, window-sampled
+    on device.  ``timesteps`` restart at episode boundaries; windows never
+    need host-side episode indexing because sampling masks out any prefix
+    belonging to an earlier episode."""
+
+    states: jnp.ndarray  # (T, N, ...) float
+    actions: jnp.ndarray  # (T, N) int32
+    rtg: jnp.ndarray  # (T, N) float32
+    timesteps: jnp.ndarray  # (T, N) int32
+    episode_starts: jnp.ndarray  # (T, N) bool: step t begins a new episode
+
+    @property
+    def horizon(self) -> int:
+        return self.states.shape[0]
+
+    @property
+    def num_streams(self) -> int:
+        return self.states.shape[1]
+
+    def sample(
+        self, key: jax.Array, batch_size: int, context_len: int
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Sample (rtg, states, actions, timesteps, mask), each (B, K, ...).
+
+        Windows end at a uniformly drawn step; positions before the episode
+        start (timestep would go negative) are left-padded and masked out of
+        the loss, the DT convention for short contexts.
+        """
+        k_t, k_n = jax.random.split(key)
+        K = context_len
+        t_end = jax.random.randint(k_t, (batch_size,), K - 1, self.horizon)
+        n_idx = jax.random.randint(k_n, (batch_size,), 0, self.num_streams)
+        offsets = jnp.arange(K) - (K - 1)  # window positions relative to t_end
+        t_idx = t_end[:, None] + offsets[None, :]  # (B, K)
+
+        def gather(x):
+            return x[t_idx, n_idx[:, None]]
+
+        states = gather(self.states)
+        actions = gather(self.actions)
+        rtg = gather(self.rtg)
+        timesteps = gather(self.timesteps)
+        # Mask out positions from an earlier episode: valid iff the episode
+        # timestep counts down consistently to the window end.
+        ts_end = timesteps[:, -1:]
+        expected = ts_end + offsets[None, :]
+        mask = (expected >= 0) & (timesteps == expected)
+        zero = lambda x, m: jnp.where(  # noqa: E731
+            m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, jnp.zeros_like(x)
+        )
+        return (
+            zero(rtg, mask),
+            zero(states, mask),
+            zero(actions, mask),
+            zero(timesteps, mask),
+            mask,
+        )
+
+
+def collect_trajectories(
+    env: Environment,
+    key: jax.Array,
+    num_steps: int,
+    num_envs: int,
+    policy_fn: Optional[Callable] = None,
+    state_dtype: jnp.dtype = jnp.bfloat16,
+) -> TrajectoryBuffer:
+    """Roll ``policy_fn(key, obs) -> action`` (uniform-random if None) for
+    (num_steps, num_envs) on device and package a TrajectoryBuffer."""
+
+    if policy_fn is None:
+
+        def policy_fn(k, obs):
+            return jax.random.randint(k, (obs.shape[0],), 0, env.num_actions)
+
+    def step(carry, _):
+        obs, env_state, t_in_ep, key = carry
+        key, k_act, k_step = jax.random.split(key, 3)
+        action = policy_fn(k_act, obs)
+        next_obs, env_state, reward, done, _ = env.v_step(
+            jax.random.split(k_step, num_envs), env_state, action
+        )
+        out = (obs.astype(state_dtype), action.astype(jnp.int32), reward, done, t_in_ep)
+        t_next = jnp.where(done, 0, t_in_ep + 1)
+        return (next_obs, env_state, t_next, key), out
+
+    key, k_reset = jax.random.split(key)
+    obs, env_state = env.v_reset(jax.random.split(k_reset, num_envs))
+    t0 = jnp.zeros(num_envs, dtype=jnp.int32)
+    _, (states, actions, rewards, dones, timesteps) = jax.lax.scan(
+        step, (obs, env_state, t0, key), None, length=num_steps
+    )
+    rtg = returns_to_go(rewards, dones)
+    episode_starts = timesteps == 0
+    return TrajectoryBuffer(
+        states=states,
+        actions=actions,
+        rtg=rtg,
+        timesteps=timesteps,
+        episode_starts=episode_starts,
+    )

@@ -1,0 +1,184 @@
+"""Decision Transformer for multimodal trajectories, TPU-native.
+
+The reference declares an offline phase — "a decision transformer as per
+kzl/decision-transformer" (reference README.md:10-15) — but its
+``decision-transformer/`` directory is empty; this is the from-scratch
+build.  Architecture follows the published DT design: per timestep t the
+tokens (returns-to-go_t, state_t, action_t) are each embedded to d_model, a
+learned timestep embedding is added to all three, the interleaved 3K-token
+sequence runs through a pre-LN causal GPT stack, and actions are predicted
+from the *state*-token outputs.
+
+TPU-first choices:
+- causal self-attention is the Pallas flash-attention kernel
+  (ops/flash_attention.py) when the padded sequence justifies it, jnp
+  fallback otherwise — selected at trace time from static shapes;
+- the multimodal state embedding reuses the SAME two-tower CNN + fusion
+  encoder as the online agents (models/common.py towers), applied to all
+  B*K frames in one batched conv — MXU-friendly, no per-step loop;
+- a ``compute_dtype`` knob (bfloat16 by default on TPU) keeps matmuls on
+  the MXU's native format with float32 params and layernorm statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrl_tpu.models.common import AtariTower, ZEROS, ortho
+from mmtrl_tpu.ops.flash_attention import causal_flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class DTConfig:
+    num_actions: int = 4
+    context_len: int = 30  # K timesteps -> 3K tokens
+    d_model: int = 512
+    n_layers: int = 6
+    n_heads: int = 4  # head_dim 128 = one MXU lane tile
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    max_timestep: int = 4096
+    state_kind: str = "multimodal"  # 'multimodal' (2,84,84) | 'vector'
+    state_dim: int = 0  # used when state_kind == 'vector'
+    conv_type: str = "big"
+    fusion_type: str = "sum"
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def seq_len(self) -> int:
+        return 3 * self.context_len
+
+
+class MultimodalStateEncoder(nn.Module):
+    """(B*K, 2, 84, 84) -> (B*K, d_model): the online agents' two-tower
+    encoder (video ch 0 / audio ch 1, src/agents.py:118-119) projected to
+    the transformer width."""
+
+    d_model: int
+    conv_type: str = "big"
+    fusion_type: str = "sum"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, states: jnp.ndarray) -> jnp.ndarray:
+        x = states.astype(self.dtype)
+        video = AtariTower(self.conv_type, name="video_net")(
+            jnp.moveaxis(x[:, 0:1], 1, -1)
+        )
+        audio = AtariTower(self.conv_type, name="audio_net")(
+            jnp.moveaxis(x[:, 1:2], 1, -1)
+        )
+        if self.fusion_type == "sum":
+            fused = video + audio
+        else:
+            fused = jnp.concatenate([video, audio], axis=-1)
+        return nn.Dense(
+            self.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="proj"
+        )(fused)
+
+
+class CausalSelfAttention(nn.Module):
+    cfg: DTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        B, S, D = x.shape
+        H = cfg.n_heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, kernel_init=ortho(1.0), bias_init=ZEROS, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)  # noqa: E731
+        o = causal_flash_attention(split(q), split(k), split(v))
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+        o = nn.Dense(D, kernel_init=ortho(1.0), bias_init=ZEROS, name="out")(o)
+        return nn.Dropout(cfg.dropout)(o, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    cfg: DTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
+        x = x + CausalSelfAttention(cfg, name="attn")(h, deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
+        h = nn.Dense(
+            cfg.mlp_ratio * cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
+            name="fc",
+        )(h)
+        h = nn.gelu(h)
+        h = nn.Dense(
+            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="proj"
+        )(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class DecisionTransformer(nn.Module):
+    cfg: DTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        rtg: jnp.ndarray,  # (B, K) returns-to-go
+        states: jnp.ndarray,  # (B, K, 2, 84, 84) or (B, K, state_dim)
+        actions: jnp.ndarray,  # (B, K) int32
+        timesteps: jnp.ndarray,  # (B, K) int32 absolute episode timesteps
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Returns action logits (B, K, num_actions), predicted from the
+        state-token outputs (the DT action head)."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        B, K = rtg.shape
+
+        if cfg.state_kind == "multimodal":
+            flat = states.reshape((B * K,) + states.shape[2:])
+            state_emb = MultimodalStateEncoder(
+                cfg.d_model, cfg.conv_type, cfg.fusion_type, dtype,
+                name="state_encoder",
+            )(flat).reshape(B, K, cfg.d_model)
+        else:
+            state_emb = nn.Dense(
+                cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
+                name="state_encoder",
+            )(states.astype(dtype))
+
+        rtg_emb = nn.Dense(
+            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="rtg_emb"
+        )(rtg[..., None].astype(dtype))
+        act_emb = nn.Embed(
+            cfg.num_actions, cfg.d_model,
+            embedding_init=nn.initializers.normal(0.02), name="action_emb",
+        )(actions).astype(dtype)
+        time_emb = nn.Embed(
+            cfg.max_timestep, cfg.d_model,
+            embedding_init=nn.initializers.normal(0.02), name="time_emb",
+        )(timesteps).astype(dtype)
+
+        # Interleave (R, s, a) per timestep -> (B, 3K, D); each token gets
+        # its timestep's positional embedding.
+        tokens = jnp.stack(
+            [rtg_emb + time_emb, state_emb + time_emb, act_emb + time_emb], axis=2
+        ).reshape(B, 3 * K, cfg.d_model)
+        x = nn.Dropout(cfg.dropout)(tokens, deterministic=deterministic)
+
+        for i in range(cfg.n_layers):
+            x = Block(cfg, name=f"block_{i}")(x, deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+
+        state_tokens = x[:, 1::3]  # outputs at state positions
+        logits = nn.Dense(
+            cfg.num_actions, kernel_init=ortho(0.01), bias_init=ZEROS,
+            name="action_head",
+        )(state_tokens.astype(dtype))
+        return logits.astype(jnp.float32)

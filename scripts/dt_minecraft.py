@@ -1,0 +1,146 @@
+"""Offline phase: decision transformer on Minecraft2d trajectories.
+
+The reference's declared-but-absent offline stage (README.md:10-15,
+decision-transformer/ is empty upstream): collect trajectories with the
+vectorized device env, train the multimodal DT by return-conditioned
+behavior cloning, evaluate conditioned on a target return.
+
+    python scripts/dt_minecraft.py --collect-steps 2048 --total-steps 500
+"""
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from _common import field
+
+from mmtrl_tpu.algos.dt import (
+    DTTrainConfig,
+    collect_trajectories,
+    create_dt_state,
+    evaluate_dt,
+    make_dt_train_step,
+)
+from mmtrl_tpu.core.config import cli
+from mmtrl_tpu.core.checkpoint import save_run
+from mmtrl_tpu.core.metrics import MetricsWriter
+from mmtrl_tpu.envs import make
+from mmtrl_tpu.models.decision_transformer import DTConfig
+
+
+@dataclasses.dataclass
+class Args:
+    exp_name: str = field("dt_minecraft", "the name of this experiment")
+    seed: int = field(1, "seed of the experiment")
+    env_id: str = field("minecraft", "the id of the environment")
+    collect_steps: int = field(4096, "rollout steps per env for the dataset")
+    collect_envs: int = field(16, "parallel envs for dataset collection")
+    context_len: int = field(30, "DT context length K (3K tokens)")
+    d_model: int = field(512, "transformer width")
+    n_layers: int = field(6, "transformer depth")
+    n_heads: int = field(4, "attention heads (head_dim = d_model/n_heads)")
+    dropout: float = field(0.1, "dropout rate")
+    batch_size: int = field(64, "training batch size")
+    learning_rate: float = field(6e-4, "peak learning rate")
+    total_steps: int = field(5000, "gradient steps")
+    warmup_steps: int = field(512, "LR warmup steps")
+    target_return: float = field(10.0, "evaluation return-to-go conditioning")
+    eval_envs: int = field(16, "evaluation envs")
+    eval_steps: int = field(64, "evaluation env steps")
+    print_interval: int = field(50, "log every n steps")
+    save_interval: int = field(0, "save every n steps (0: never)")
+    save_dir: str = field("saved_agents", "checkpoint folder")
+
+
+def main(args=None):
+    args = args or cli(Args)
+    run_name = f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
+    writer = MetricsWriter(run_name, args)
+    key = jax.random.PRNGKey(args.seed)
+
+    env = make(args.env_id)
+    key, k_collect = jax.random.split(key)
+    print(f"collecting {args.collect_steps}x{args.collect_envs} steps...")
+    buffer = jax.jit(
+        lambda k: collect_trajectories(
+            env, k, args.collect_steps, args.collect_envs
+        )
+    )(k_collect)
+    print(
+        f"dataset: {buffer.horizon}x{buffer.num_streams} steps, "
+        f"{int(np.asarray(buffer.episode_starts).sum())} episodes"
+    )
+
+    model_cfg = DTConfig(
+        num_actions=env.num_actions,
+        context_len=args.context_len,
+        d_model=args.d_model,
+        n_layers=args.n_layers,
+        n_heads=args.n_heads,
+        dropout=args.dropout,
+        max_timestep=64,
+    )
+    train_cfg = DTTrainConfig(
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
+        batch_size=args.batch_size,
+    )
+
+    key, k_init, k_sample = jax.random.split(key, 3)
+    example = buffer.sample(k_sample, args.batch_size, args.context_len)
+    state = create_dt_state(k_init, model_cfg, train_cfg, example)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"DT params: {n_params/1e6:.1f}M")
+
+    train_step = jax.jit(make_dt_train_step(model_cfg))
+    sample = jax.jit(
+        lambda k: buffer.sample(k, args.batch_size, args.context_len)
+    )
+
+    start = time.time()
+    for step in range(1, args.total_steps + 1):
+        key, k_batch, k_drop = jax.random.split(key, 3)
+        state, metrics = train_step(state, sample(k_batch), k_drop)
+        if step % args.print_interval == 0:
+            metrics = jax.device_get(metrics)
+            tokens_sec = (
+                step * args.batch_size * 3 * args.context_len
+                / max(time.time() - start, 1e-9)
+            )
+            writer.scalars(metrics, step)
+            writer.scalar("charts/tokens_per_sec", tokens_sec, step)
+            print(
+                f"step={step}/{args.total_steps} loss={metrics['dt/loss']:.4f} "
+                f"acc={metrics['dt/action_accuracy']:.3f} tokens/s={tokens_sec:.0f}"
+            )
+        if args.save_interval and step % args.save_interval == 0:
+            save_run(state, run_name, args.save_dir)
+
+    key, k_eval = jax.random.split(key)
+    results = jax.device_get(
+        jax.jit(
+            lambda k: evaluate_dt(
+                env,
+                model_cfg,
+                state.params,
+                k,
+                args.target_return,
+                num_envs=args.eval_envs,
+                num_steps=args.eval_steps,
+            )
+        )(k_eval)
+    )
+    for tag, val in results.items():
+        writer.scalar(tag, float(val), args.total_steps)
+    print({k_: float(v) for k_, v in results.items()})
+    if args.save_interval:
+        save_run(state, run_name, args.save_dir)
+    writer.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()
