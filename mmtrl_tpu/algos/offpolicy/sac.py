@@ -1,0 +1,230 @@
+"""SAC — the reference's cleanrl/sac_continuous_action.py.
+
+Twin soft-Q critics, tanh-squashed Gaussian actor, and autotuned entropy
+temperature alpha against target entropy -dim(A) (reference :196-200,
+279-287), all inside the scanned device loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training.train_state import TrainState
+
+from mmtrl_tpu.algos.offpolicy.common import OffPolicyRunner
+from mmtrl_tpu.algos.offpolicy.ddpg import ACTrainState
+from mmtrl_tpu.core.metrics import EpisodeStatistics
+from mmtrl_tpu.data.buffers import ReplayBuffer
+from mmtrl_tpu.envs.base import Environment
+from mmtrl_tpu.models.distributions import squashed_normal_sample_log_prob
+
+
+@dataclasses.dataclass
+class SACConfig:
+    total_timesteps: int = 1_000_000
+    q_lr: float = 1e-3
+    policy_lr: float = 3e-4
+    num_envs: int = 1
+    buffer_size: int = 131_072
+    gamma: float = 0.99
+    tau: float = 0.005
+    batch_size: int = 256
+    learning_starts: int = 5_000
+    policy_frequency: int = 2
+    target_network_frequency: int = 1
+    alpha: float = 0.2
+    autotune: bool = True
+    steps_per_iteration: int = 512
+
+    @property
+    def num_iterations(self) -> int:
+        return self.total_timesteps // (self.steps_per_iteration * self.num_envs)
+
+
+@struct.dataclass
+class SACState:
+    actor: TrainState
+    qf1: ACTrainState
+    qf2: ACTrainState
+    log_alpha: jnp.ndarray
+    alpha_opt_state: any  # optax state for the temperature (tx in closure)
+
+
+def make_sac(env: Environment, actor_model, critic_model, cfg: SACConfig):
+    a_low = jnp.asarray(env.action_space.low)
+    a_high = jnp.asarray(env.action_space.high)
+    action_scale = (a_high - a_low) / 2.0
+    action_bias = (a_high + a_low) / 2.0
+    target_entropy = -float(jnp.prod(jnp.asarray(env.action_space.shape)))
+    alpha_tx = optax.adam(cfg.q_lr)
+
+    def sample_action(params, obs, key):
+        mean, log_std = actor_model.apply(params, obs)
+        return squashed_normal_sample_log_prob(
+            key, mean, log_std, action_scale, action_bias
+        )
+
+    def init_runner(key: jax.Array) -> OffPolicyRunner:
+        key, k_env, k_a, k_q1, k_q2 = jax.random.split(key, 5)
+        obs, env_state = env.v_reset(jax.random.split(k_env, cfg.num_envs))
+        ea = jnp.zeros(env.action_space.shape, jnp.float32)
+        actor = TrainState.create(
+            apply_fn=actor_model.apply,
+            params=actor_model.init(k_a, obs),
+            tx=optax.adam(cfg.policy_lr),
+        )
+        make_q = lambda k: ACTrainState.create(  # noqa: E731
+            apply_fn=critic_model.apply,
+            params=critic_model.init(k, obs, ea[None]),
+            target_params=critic_model.init(k, obs, ea[None]),
+            tx=optax.adam(cfg.q_lr),
+        )
+        log_alpha = jnp.log(jnp.asarray(cfg.alpha))
+        example = dict(
+            obs=obs[0], action=ea, reward=jnp.float32(0),
+            next_obs=obs[0], done=jnp.float32(0),
+        )
+        return OffPolicyRunner(
+            train_state=SACState(
+                actor=actor,
+                qf1=make_q(k_q1),
+                qf2=make_q(k_q2),
+                log_alpha=log_alpha,
+                alpha_opt_state=alpha_tx.init(log_alpha),
+            ),
+            buffer=ReplayBuffer.create(example, cfg.buffer_size),
+            env_state=env_state,
+            obs=obs,
+            global_step=jnp.zeros((), jnp.int32),
+            stats=EpisodeStatistics.create(cfg.num_envs),
+            key=key,
+        )
+
+    def update_critics(state: SACState, batch, key):
+        alpha = jnp.exp(state.log_alpha)
+        next_a, next_logp, _ = sample_action(
+            state.actor.params, batch["next_obs"], key
+        )
+        q1n = critic_model.apply(state.qf1.target_params, batch["next_obs"], next_a)
+        q2n = critic_model.apply(state.qf2.target_params, batch["next_obs"], next_a)
+        soft_next = jnp.minimum(q1n, q2n) - alpha * next_logp
+        target = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * soft_next
+
+        def q_loss(params):
+            q = critic_model.apply(params, batch["obs"], batch["action"])
+            return ((q - target) ** 2).mean(), q.mean()
+
+        (l1, q1m), g1 = jax.value_and_grad(q_loss, has_aux=True)(state.qf1.params)
+        (l2, _), g2 = jax.value_and_grad(q_loss, has_aux=True)(state.qf2.params)
+        return (
+            state.replace(
+                qf1=state.qf1.apply_gradients(grads=g1),
+                qf2=state.qf2.apply_gradients(grads=g2),
+            ),
+            l1 + l2,
+            q1m,
+        )
+
+    def update_actor_and_alpha(state: SACState, batch, key):
+        alpha = jnp.exp(state.log_alpha)
+
+        def a_loss(params):
+            a, logp, _ = sample_action(params, batch["obs"], key)
+            q1 = critic_model.apply(state.qf1.params, batch["obs"], a)
+            q2 = critic_model.apply(state.qf2.params, batch["obs"], a)
+            return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
+
+        (actor_loss, logp), grads = jax.value_and_grad(a_loss, has_aux=True)(
+            state.actor.params
+        )
+        actor = state.actor.apply_gradients(grads=grads)
+
+        if cfg.autotune:
+            def alpha_loss(log_alpha):
+                return (
+                    -jnp.exp(log_alpha) * (logp + target_entropy)
+                ).mean()
+
+            al, a_grads = jax.value_and_grad(alpha_loss)(state.log_alpha)
+            updates, new_opt = alpha_tx.update(
+                a_grads, state.alpha_opt_state, state.log_alpha
+            )
+            log_alpha = optax.apply_updates(state.log_alpha, updates)
+            state = state.replace(log_alpha=log_alpha, alpha_opt_state=new_opt)
+
+        return state.replace(actor=actor), actor_loss
+
+    def step_fn(runner: OffPolicyRunner, _):
+        key, k_act, k_rand, k_step, k_sample, k_next, k_pi = jax.random.split(
+            runner.key, 7
+        )
+        state: SACState = runner.train_state
+        a_pi, _, _ = sample_action(state.actor.params, runner.obs, k_act)
+        a_random = jax.random.uniform(k_rand, a_pi.shape, minval=a_low, maxval=a_high)
+        warmup = runner.global_step < cfg.learning_starts
+        action = jnp.where(warmup, a_random, a_pi)
+
+        next_obs, env_state, reward, done, _ = env.v_step(
+            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
+        )
+        stats = runner.stats.update(reward, done)
+        buffer = runner.buffer.add_batch(
+            dict(
+                obs=runner.obs, action=action, reward=reward,
+                next_obs=next_obs, done=done.astype(jnp.float32),
+            ),
+            cfg.num_envs,
+        )
+        global_step = runner.global_step + cfg.num_envs
+
+        def do_updates(state):
+            batch = buffer.sample(k_sample, cfg.batch_size)
+            state, c_loss, q_mean = update_critics(state, batch, k_next)
+            step_idx = global_step // cfg.num_envs
+            state, a_loss = jax.lax.cond(
+                step_idx % cfg.policy_frequency == 0,
+                lambda s: update_actor_and_alpha(s, batch, k_pi),
+                lambda s: (s, jnp.float32(0)),
+                state,
+            )
+            polyak = lambda t: t.replace(  # noqa: E731
+                target_params=optax.incremental_update(
+                    t.params, t.target_params, cfg.tau
+                )
+            )
+            state = jax.lax.cond(
+                step_idx % cfg.target_network_frequency == 0,
+                lambda s: s.replace(qf1=polyak(s.qf1), qf2=polyak(s.qf2)),
+                lambda s: s,
+                state,
+            )
+            return state, c_loss, a_loss, q_mean
+
+        state, c_loss, a_loss, q_mean = jax.lax.cond(
+            global_step > cfg.learning_starts,
+            do_updates,
+            lambda s: (s, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+            state,
+        )
+        runner = runner.replace(
+            train_state=state, buffer=buffer, env_state=env_state, obs=next_obs,
+            global_step=global_step, stats=stats, key=key,
+        )
+        return runner, (c_loss, a_loss, q_mean, jnp.exp(state.log_alpha))
+
+    def train_iteration(runner: OffPolicyRunner):
+        runner, (c_losses, a_losses, q_means, alphas) = jax.lax.scan(
+            step_fn, runner, None, length=cfg.steps_per_iteration
+        )
+        return runner, {
+            "losses/qf_loss": c_losses[-1],
+            "losses/actor_loss": a_losses[-1],
+            "losses/qf1_values": q_means[-1],
+            "losses/alpha": alphas[-1],
+        }
+
+    return init_runner, train_iteration

@@ -1,0 +1,193 @@
+"""TD3 — the reference's cleanrl/td3_continuous_action(_jax).py.
+
+DDPG plus twin critics (min of two target Qs), clipped-noise target policy
+smoothing, and delayed actor updates (td3_continuous_action_jax.py:187-244).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mmtrl_tpu.algos.offpolicy.common import OffPolicyRunner
+from mmtrl_tpu.algos.offpolicy.ddpg import ACTrainState
+from mmtrl_tpu.core.metrics import EpisodeStatistics
+from mmtrl_tpu.data.buffers import ReplayBuffer
+from mmtrl_tpu.envs.base import Environment
+
+
+@dataclasses.dataclass
+class TD3Config:
+    total_timesteps: int = 1_000_000
+    learning_rate: float = 3e-4
+    num_envs: int = 1
+    buffer_size: int = 131_072
+    gamma: float = 0.99
+    tau: float = 0.005
+    batch_size: int = 256
+    exploration_noise: float = 0.1
+    policy_noise: float = 0.2
+    noise_clip: float = 0.5
+    learning_starts: int = 25_000
+    policy_frequency: int = 2
+    steps_per_iteration: int = 512
+
+    @property
+    def num_iterations(self) -> int:
+        return self.total_timesteps // (self.steps_per_iteration * self.num_envs)
+
+
+@struct.dataclass
+class TD3State:
+    actor: ACTrainState
+    qf1: ACTrainState
+    qf2: ACTrainState
+
+
+def make_td3(env: Environment, actor_model, critic_model, cfg: TD3Config):
+    a_low = jnp.asarray(env.action_space.low)
+    a_high = jnp.asarray(env.action_space.high)
+
+    def init_runner(key: jax.Array) -> OffPolicyRunner:
+        key, k_env, k_a, k_q1, k_q2 = jax.random.split(key, 5)
+        obs, env_state = env.v_reset(jax.random.split(k_env, cfg.num_envs))
+        a_params = actor_model.init(k_a, obs)
+        ea = jnp.zeros(env.action_space.shape, jnp.float32)
+        make_q = lambda k: ACTrainState.create(  # noqa: E731
+            apply_fn=critic_model.apply,
+            params=critic_model.init(k, obs, ea[None]),
+            target_params=critic_model.init(k, obs, ea[None]),
+            tx=optax.adam(cfg.learning_rate),
+        )
+        actor = ACTrainState.create(
+            apply_fn=actor_model.apply, params=a_params, target_params=a_params,
+            tx=optax.adam(cfg.learning_rate),
+        )
+        example = dict(
+            obs=obs[0], action=ea, reward=jnp.float32(0),
+            next_obs=obs[0], done=jnp.float32(0),
+        )
+        return OffPolicyRunner(
+            train_state=TD3State(actor=actor, qf1=make_q(k_q1), qf2=make_q(k_q2)),
+            buffer=ReplayBuffer.create(example, cfg.buffer_size),
+            env_state=env_state,
+            obs=obs,
+            global_step=jnp.zeros((), jnp.int32),
+            stats=EpisodeStatistics.create(cfg.num_envs),
+            key=key,
+        )
+
+    def update_critics(state: TD3State, batch, key):
+        scale = (a_high - a_low) / 2.0
+        noise = jnp.clip(
+            jax.random.normal(key, batch["action"].shape) * cfg.policy_noise,
+            -cfg.noise_clip,
+            cfg.noise_clip,
+        ) * scale
+        next_a = jnp.clip(
+            actor_model.apply(state.actor.target_params, batch["next_obs"]) + noise,
+            a_low,
+            a_high,
+        )
+        q1_next = critic_model.apply(state.qf1.target_params, batch["next_obs"], next_a)
+        q2_next = critic_model.apply(state.qf2.target_params, batch["next_obs"], next_a)
+        target = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * jnp.minimum(
+            q1_next, q2_next
+        )
+
+        def q_loss(params):
+            q = critic_model.apply(params, batch["obs"], batch["action"])
+            return ((q - target) ** 2).mean(), q.mean()
+
+        (l1, q1m), g1 = jax.value_and_grad(q_loss, has_aux=True)(state.qf1.params)
+        (l2, _), g2 = jax.value_and_grad(q_loss, has_aux=True)(state.qf2.params)
+        return (
+            state.replace(
+                qf1=state.qf1.apply_gradients(grads=g1),
+                qf2=state.qf2.apply_gradients(grads=g2),
+            ),
+            l1 + l2,
+            q1m,
+        )
+
+    def update_actor(state: TD3State, batch):
+        def loss_fn(params):
+            a = actor_model.apply(params, batch["obs"])
+            return -critic_model.apply(state.qf1.params, batch["obs"], a).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.actor.params)
+        actor = state.actor.apply_gradients(grads=grads)
+        polyak = lambda t: t.replace(  # noqa: E731
+            target_params=optax.incremental_update(t.params, t.target_params, cfg.tau)
+        )
+        return (
+            state.replace(
+                actor=polyak(actor), qf1=polyak(state.qf1), qf2=polyak(state.qf2)
+            ),
+            loss,
+        )
+
+    def step_fn(runner: OffPolicyRunner, _):
+        key, k_noise, k_rand, k_step, k_sample, k_smooth = jax.random.split(
+            runner.key, 6
+        )
+        state: TD3State = runner.train_state
+        scale = (a_high - a_low) / 2.0
+        a_det = actor_model.apply(state.actor.params, runner.obs)
+        noise = jax.random.normal(k_noise, a_det.shape) * cfg.exploration_noise * scale
+        a_random = jax.random.uniform(k_rand, a_det.shape, minval=a_low, maxval=a_high)
+        warmup = runner.global_step < cfg.learning_starts
+        action = jnp.where(warmup, a_random, jnp.clip(a_det + noise, a_low, a_high))
+
+        next_obs, env_state, reward, done, _ = env.v_step(
+            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
+        )
+        stats = runner.stats.update(reward, done)
+        buffer = runner.buffer.add_batch(
+            dict(
+                obs=runner.obs, action=action, reward=reward,
+                next_obs=next_obs, done=done.astype(jnp.float32),
+            ),
+            cfg.num_envs,
+        )
+        global_step = runner.global_step + cfg.num_envs
+
+        def do_updates(state):
+            batch = buffer.sample(k_sample, cfg.batch_size)
+            state, c_loss, q_mean = update_critics(state, batch, k_smooth)
+            step_idx = global_step // cfg.num_envs
+            state, a_loss = jax.lax.cond(
+                step_idx % cfg.policy_frequency == 0,
+                lambda s: update_actor(s, batch),
+                lambda s: (s, jnp.float32(0)),
+                state,
+            )
+            return state, c_loss, a_loss, q_mean
+
+        state, c_loss, a_loss, q_mean = jax.lax.cond(
+            global_step > cfg.learning_starts,
+            do_updates,
+            lambda s: (s, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+            state,
+        )
+        runner = runner.replace(
+            train_state=state, buffer=buffer, env_state=env_state, obs=next_obs,
+            global_step=global_step, stats=stats, key=key,
+        )
+        return runner, (c_loss, a_loss, q_mean)
+
+    def train_iteration(runner: OffPolicyRunner):
+        runner, (c_losses, a_losses, q_means) = jax.lax.scan(
+            step_fn, runner, None, length=cfg.steps_per_iteration
+        )
+        return runner, {
+            "losses/qf_loss": c_losses[-1],
+            "losses/actor_loss": a_losses[-1],
+            "losses/qf1_values": q_means[-1],
+        }
+
+    return init_runner, train_iteration

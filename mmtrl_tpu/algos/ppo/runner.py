@@ -29,6 +29,10 @@ def run_training(
     """Drives num_updates iterations; returns final summary dict."""
     run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     writer = MetricsWriter(run_name, args)
+    from mmtrl_tpu.utils.resume import journal_run
+    import sys as _sys
+
+    journal_run(run_name, _sys.argv, "running")
     if getattr(args, "track", False):
         print("wandb tracking requested but wandb is not bundled; "
               "TensorBoard events are written either way")
@@ -77,6 +81,7 @@ def run_training(
 
     if getattr(args, "save_interval", 0):
         save_run(runner, run_name, args.save_dir)
+    journal_run(run_name, _sys.argv, "finished")
     writer.close()
     elapsed = time.time() - start
     return {

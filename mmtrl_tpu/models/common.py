@@ -57,6 +57,48 @@ class AtariTower(nn.Module):
         return nn.relu(x)
 
 
+class ResidualBlock(nn.Module):
+    """IMPALA residual block (the reference's ppg_procgen.py:122)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(x)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME")(h)
+        return x + h
+
+
+class ConvSequence(nn.Module):
+    """IMPALA conv + maxpool + 2 residual blocks (ppg_procgen.py:141)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = ResidualBlock(self.channels)(x)
+        return ResidualBlock(self.channels)(x)
+
+
+class ImpalaTower(nn.Module):
+    """IMPALA CNN trunk (the reference's PPG/Procgen encoder)."""
+
+    channel_seq: Sequence[int] = (16, 32, 32)
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for ch in self.channel_seq:
+            x = ConvSequence(ch)(x)
+        x = nn.relu(x.reshape((x.shape[0], -1)))
+        x = nn.Dense(self.hidden, kernel_init=ortho(), bias_init=ZEROS)(x)
+        return nn.relu(x)
+
+
 class MLPTower(nn.Module):
     """Tanh MLP trunk for vector observations (the reference's classic
     control agents, cleanrl/ppo.py)."""

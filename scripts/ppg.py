@@ -1,0 +1,74 @@
+"""Phasic Policy Gradient — the reference's cleanrl/ppg_procgen.py on the
+device-resident envs (Procgen's C++ engine is host-bound; the IMPALA CNN
+agent and the PPG phase structure are identical).
+
+    python scripts/ppg.py --env-id minecraft --n-iteration 4
+"""
+
+import dataclasses
+
+from _common import BasePPOArgs, field
+
+from mmtrl_tpu.algos.ppo.ppg import PPGAgent, PPGConfig, make_ppg
+from mmtrl_tpu.algos.ppo.runner import run_training
+from mmtrl_tpu.core.config import cli
+from mmtrl_tpu.envs import make
+
+
+@dataclasses.dataclass
+class Args(BasePPOArgs):
+    exp_name: str = field("ppg", "the name of this experiment")
+    env_id: str = field("minecraft", "the id of the environment")
+    num_envs: int = field(8, "parallel envs")
+    num_steps: int = field(64, "rollout length")
+    n_iteration: int = field(32, "policy-phase rollouts per PPG cycle")
+    e_policy: int = field(1, "policy epochs per rollout")
+    e_auxiliary: int = field(6, "auxiliary epochs per cycle")
+    beta_clone: float = field(1.0, "KL clone coefficient")
+    num_aux_minibatches: int = field(4, "aux-phase minibatches")
+    clip_rewards: bool = field(False, "PPG uses raw rewards")
+
+
+def main(args=None):
+    args = args or cli(Args)
+    env = make(args.env_id)
+    cfg = PPGConfig(
+        total_timesteps=args.total_timesteps,
+        learning_rate=args.learning_rate,
+        num_envs=args.num_envs,
+        num_steps=args.num_steps,
+        anneal_lr=args.anneal_lr,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
+        clip_coef=args.clip_coef,
+        ent_coef=args.ent_coef,
+        vf_coef=args.vf_coef,
+        max_grad_norm=args.max_grad_norm,
+        n_iteration=args.n_iteration,
+        e_policy=args.e_policy,
+        e_auxiliary=args.e_auxiliary,
+        beta_clone=args.beta_clone,
+        num_aux_minibatches=args.num_aux_minibatches,
+    )
+
+    # One PPG cycle consumes n_iteration rollouts; reuse the PPO runner by
+    # scaling num_updates accordingly.
+    class CycleCfg:
+        num_updates = max(
+            1, args.total_timesteps // (cfg.batch_size * cfg.n_iteration)
+        )
+        batch_size = cfg.batch_size * cfg.n_iteration
+        anneal_lr = cfg.anneal_lr
+        learning_rate = cfg.learning_rate
+
+    model = PPGAgent(num_actions=env.num_actions)
+    init_runner, ppg_cycle = make_ppg(env, model, cfg)
+    from mmtrl_tpu.algos.ppo.runner import run_training
+
+    return run_training(init_runner, ppg_cycle, CycleCfg, args)
+
+
+if __name__ == "__main__":
+    main()

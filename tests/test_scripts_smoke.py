@@ -1,0 +1,139 @@
+"""End-to-end smoke tests: every entry script with a tiny budget.
+
+The reference's dominant test style — run each trainer with minuscule
+budgets and assert success (reference: tests/test_atari.py:4-10,
+tests/test_classic_control.py:4-9).  Runs in-process (CPU backend via
+conftest) instead of subprocess so JAX initializes once.
+"""
+
+import os
+import sys
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+sys.path.insert(0, os.path.abspath(SCRIPTS))
+
+COMMON = [
+    "--total-timesteps", "256",
+    "--num-envs", "2",
+    "--num-steps", "32",
+    "--num-minibatches", "2",
+    "--update-epochs", "1",
+    "--print-interval", "10",
+]
+
+OFFPOLICY = [
+    "--total-timesteps", "512",
+    "--learning-starts", "64",
+    "--buffer-size", "512",
+    "--batch-size", "16",
+    "--steps-per-iteration", "256",
+    "--print-interval", "10",
+]
+
+
+def run_main(module_name, argv):
+    import importlib
+
+    mod = importlib.import_module(module_name)
+    return mod.main(mod.cli(mod.Args, argv))
+
+
+def test_ppo_cartpole():
+    out = run_main("ppo", COMMON + ["--env-id", "CartPole-v1"])
+    assert out["global_step"] == 256
+
+
+def test_ppo_acrobot():
+    run_main("ppo", COMMON + ["--env-id", "Acrobot-v1"])
+
+
+def test_minecraft_cnn():
+    run_main("minecraft_cnn", COMMON)
+
+
+@pytest.mark.parametrize("attn", ["casl", "new"])
+def test_train_multimodal(attn):
+    run_main(
+        "train",
+        [
+            "--attn-type", attn, "--fusion-type", "sum",
+            "--total-timesteps", "128", "--num-envs", "2", "--num-steps", "16",
+            "--num-minibatches", "1", "--update-epochs", "1",
+            "--print-interval", "10",
+        ],
+    )
+
+
+def test_minecraft_lstm_attention():
+    run_main(
+        "minecraft_lstm_attention",
+        ["--total-timesteps", "128", "--num-envs", "2", "--num-steps", "16",
+         "--num-minibatches", "1", "--print-interval", "10"],
+    )
+
+
+def test_minecraft_lstm_old_agent():
+    run_main(
+        "minecraft_lstm",
+        ["--agent", "old", "--total-timesteps", "128", "--num-envs", "2",
+         "--num-steps", "16", "--num-minibatches", "1", "--print-interval", "10"],
+    )
+
+
+def test_ppo_continuous():
+    run_main(
+        "ppo_continuous_action",
+        ["--total-timesteps", "256", "--num-envs", "2", "--num-steps", "64",
+         "--num-minibatches", "2", "--update-epochs", "1",
+         "--print-interval", "10"],
+    )
+
+
+def test_rpo():
+    run_main(
+        "rpo_continuous_action",
+        ["--total-timesteps", "256", "--num-envs", "2", "--num-steps", "64",
+         "--num-minibatches", "2", "--update-epochs", "1", "--rpo-alpha", "0.5",
+         "--print-interval", "10"],
+    )
+
+
+def test_dqn():
+    run_main("dqn", OFFPOLICY + ["--env-id", "CartPole-v1"])
+
+
+def test_c51():
+    run_main("c51", OFFPOLICY + ["--env-id", "CartPole-v1", "--n-atoms", "51"])
+
+
+def test_ddpg():
+    run_main("ddpg_continuous_action", OFFPOLICY)
+
+
+def test_td3():
+    run_main("td3_continuous_action", OFFPOLICY)
+
+
+def test_sac():
+    run_main("sac_continuous_action", OFFPOLICY)
+
+
+def test_ppg():
+    run_main(
+        "ppg",
+        ["--env-id", "CartPole-v1", "--total-timesteps", "256",
+         "--num-envs", "2", "--num-steps", "16", "--n-iteration", "2",
+         "--num-minibatches", "2", "--num-aux-minibatches", "2",
+         "--e-auxiliary", "1", "--print-interval", "10"],
+    )
+
+
+def test_ppo_rnd():
+    run_main(
+        "ppo_rnd",
+        ["--env-id", "CartPole-v1", "--total-timesteps", "128",
+         "--num-envs", "2", "--num-steps", "32", "--num-minibatches", "2",
+         "--update-epochs", "1", "--print-interval", "10"],
+    )
