@@ -45,3 +45,9 @@ def _populate() -> None:
     register("Pendulum-v1", "Pendulum")(Pendulum)
     register("minecraft", "Minecraft2d")(Minecraft2d)
     register("doorpuzzle", "Doorpuzzle")(Doorpuzzle)
+
+    from mmtrl_tpu.envs.minecraft2d_ma import MultiAgentMinecraft2d
+    from mmtrl_tpu.envs.skeleton_plus import SkeletonPlusSim
+
+    register("minecraft_ma", "MultiAgentMinecraft2d")(MultiAgentMinecraft2d)
+    register("skeleton_plus", "SkeletonPlus")(SkeletonPlusSim)

@@ -95,11 +95,13 @@ class MultimodalRecurrentAgent(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Carry]:
         T, B = obs.shape[:2]
         flat = obs.reshape((T * B,) + obs.shape[2:]) / self.input_scale
+        # channel 0 = video, channels 1: = audio plane(s) (mono MFCC for
+        # Minecraft2d, stereo L/R for Skeleton+).
         video = AtariTower(self.conv_type, name="video_net")(
             _nchw_to_nhwc(flat[:, 0:1])
         ).reshape(T, B, -1)
         audio = AtariTower(self.conv_type, name="audio_net")(
-            _nchw_to_nhwc(flat[:, 1:2])
+            _nchw_to_nhwc(flat[:, 1:])
         ).reshape(T, B, -1)
 
         core = nn.scan(

@@ -68,11 +68,13 @@ class MultimodalStateEncoder(nn.Module):
     @nn.compact
     def __call__(self, states: jnp.ndarray) -> jnp.ndarray:
         x = states.astype(self.dtype)
+        # channel 0 = video; remaining channels = audio planes (1 for
+        # Minecraft2d MFCC, 2 for Skeleton+ stereo L/R).
         video = AtariTower(self.conv_type, name="video_net")(
             jnp.moveaxis(x[:, 0:1], 1, -1)
         )
         audio = AtariTower(self.conv_type, name="audio_net")(
-            jnp.moveaxis(x[:, 1:2], 1, -1)
+            jnp.moveaxis(x[:, 1:], 1, -1)
         )
         if self.fusion_type == "sum":
             fused = video + audio

@@ -1,0 +1,47 @@
+"""PPO on the Skeleton+ simulator (stereo-audio maze hunt).
+
+The online-phase trainer for the reference's second multimodal benchmark
+(environments/skeleton_plus/SkelPlus.bin, gameplay per SkelPlus.txt §2):
+streaming stereo footstep audio -> on-device MFCC planes feed the same
+two-tower multimodal agent (audio tower sees both L/R channels).
+
+    python scripts/skeleton_plus_ppo.py --num-envs 8
+"""
+
+import dataclasses
+
+from _common import BasePPOArgs, field, ppo_config_from
+
+from mmtrl_tpu.algos.ppo import make_recurrent_ppo
+from mmtrl_tpu.algos.ppo.runner import run_training
+from mmtrl_tpu.core.config import cli
+from mmtrl_tpu.envs import make
+from mmtrl_tpu.models import MultimodalRecurrentAgent
+
+
+@dataclasses.dataclass
+class Args(BasePPOArgs):
+    exp_name: str = field("skeleton_plus_ppo", "the name of this experiment")
+    env_id: str = field("skeleton_plus", "the id of the environment")
+    num_envs: int = field(8, "parallel envs")
+    clip_rewards: bool = field(False, "shaped rewards stay raw")
+    attn_type: str = field("casl", "crossmodal attention type")
+
+
+def main(args=None):
+    args = args or cli(Args)
+    env = make(args.env_id)
+    cfg = ppo_config_from(args)
+    model = MultimodalRecurrentAgent(
+        num_actions=env.num_actions,
+        conv_type=args.conv_size,
+        attn_type=args.attn_type,
+        fusion_type=args.fusion_type,
+        input_scale=1.0,  # this env has no legacy /255 quirk to preserve
+    )
+    init_runner, train_iteration = make_recurrent_ppo(env, model, cfg)
+    return run_training(init_runner, train_iteration, cfg, args)
+
+
+if __name__ == "__main__":
+    main()
