@@ -74,6 +74,7 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     clip_rewards: bool = False  # sign-clip like SB3 ClipRewardEnv
     rpo_alpha: float = 0.0  # >0 enables RPO mean perturbation
+    target_kl: Optional[float] = None  # early-stop epochs past this KL
 
     @property
     def batch_size(self) -> int:
@@ -170,6 +171,28 @@ def _explained_variance(values: jnp.ndarray, returns: jnp.ndarray) -> jnp.ndarra
     return jnp.where(var_y == 0, jnp.nan, 1 - jnp.var(returns - values) / var_y)
 
 
+def _kl_epoch_scan(cfg: PPOConfig, epoch_body, init_carry, length):
+    """Scan epochs with in-jit target-KL early stopping (the reference's
+    per-epoch `break` at src/train.py via --target-kl): once an epoch's mean
+    approx_kl exceeds the target, later epochs keep the old train state."""
+
+    def wrapped(carry, _):
+        ts, key, stop = carry
+        (new_ts, key), metrics = epoch_body((ts, key))
+        if cfg.target_kl is not None:
+            ts = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(stop, old, new), ts, new_ts
+            )
+            stop = stop | (metrics["losses/approx_kl"][-1] > cfg.target_kl)
+        else:
+            ts = new_ts
+        return (ts, key, stop), metrics
+
+    init = (init_carry[0], init_carry[1], jnp.zeros((), bool))
+    (ts, key, _), metrics = jax.lax.scan(wrapped, init, None, length=length)
+    return (ts, key), metrics
+
+
 # =============================================================================
 # Feedforward discrete PPO
 # =============================================================================
@@ -256,8 +279,11 @@ def make_ppo(env: Environment, model, cfg: PPOConfig):
             ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
             return (ts, key), metrics
 
-        (ts, key), metrics = jax.lax.scan(
-            epoch_step, (rs.train_state, rs.key), None, length=cfg.update_epochs
+        (ts, key), metrics = _kl_epoch_scan(
+            cfg,
+            lambda c: epoch_step(c, None),
+            (rs.train_state, rs.key),
+            cfg.update_epochs,
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1, -1], metrics)
         metrics["losses/explained_variance"] = _explained_variance(
@@ -382,8 +408,11 @@ def make_recurrent_ppo(env: Environment, model, cfg: PPOConfig):
             ts, metrics = jax.lax.scan(minibatch_step, ts, mb)
             return (ts, key), metrics
 
-        (ts, key), metrics = jax.lax.scan(
-            epoch_step, (rs.train_state, rs.key), None, length=cfg.update_epochs
+        (ts, key), metrics = _kl_epoch_scan(
+            cfg,
+            lambda c: epoch_step(c, None),
+            (rs.train_state, rs.key),
+            cfg.update_epochs,
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1, -1], metrics)
         metrics["losses/explained_variance"] = _explained_variance(
@@ -486,8 +515,11 @@ def make_continuous_ppo(env: Environment, model, cfg: PPOConfig):
             (ts, key), metrics = jax.lax.scan(minibatch_step, (ts, key), shuffled)
             return (ts, key), metrics
 
-        (ts, key), metrics = jax.lax.scan(
-            epoch_step, (rs.train_state, rs.key), None, length=cfg.update_epochs
+        (ts, key), metrics = _kl_epoch_scan(
+            cfg,
+            lambda c: epoch_step(c, None),
+            (rs.train_state, rs.key),
+            cfg.update_epochs,
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1, -1], metrics)
         metrics["losses/explained_variance"] = _explained_variance(

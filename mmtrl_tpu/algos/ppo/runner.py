@@ -49,8 +49,15 @@ def run_training(
     global_step = 0
     start = time.time()
     last_return = 0.0
+    profiling = getattr(args, "profile", False)
     for update in range(initial_update, cfg.num_updates + 1):
+        if profiling and update == 3:
+            jax.profiler.start_trace(f"profiles/{run_name}")
         runner, metrics = train_iteration(runner)
+        if profiling and update == 7:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to profiles/{run_name}")
         global_step += cfg.batch_size
 
         if update % getattr(args, "print_interval", 1) == 0:

@@ -62,6 +62,7 @@ class BasePPOArgs:
     conv_size: str = field("big", "conv tower size: 'big' or 'small'")
     print_interval: int = field(1, "print stats every so many updates")
     clip_rewards: bool = field(True, "sign-clip env rewards")
+    profile: bool = field(False, "capture a jax.profiler trace of updates 3-7")
 
 
 def ppo_config_from(args, **overrides):
@@ -84,6 +85,7 @@ def ppo_config_from(args, **overrides):
         vf_coef=args.vf_coef,
         max_grad_norm=args.max_grad_norm,
         clip_rewards=getattr(args, "clip_rewards", False),
+        target_kl=getattr(args, "target_kl", None),
     )
     base.update(overrides)
     return PPOConfig(**base)
