@@ -52,7 +52,6 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k, scale):
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
-    seq_len = k_ref.shape[1]
     num_kb = pl.cdiv((qi + 1) * block_q, block_k)  # causal horizon
 
     q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)

@@ -63,6 +63,11 @@ class BasePPOArgs:
     print_interval: int = field(1, "print stats every so many updates")
     clip_rewards: bool = field(True, "sign-clip env rewards")
     profile: bool = field(False, "capture a jax.profiler trace of updates 3-7")
+    input_scale: float = field(
+        255.0,
+        "observation divisor; 255 replicates the reference's double "
+        "normalization quirk (agents.py:133-134), 1.0 is the sane scale",
+    )
 
 
 def ppo_config_from(args, **overrides):

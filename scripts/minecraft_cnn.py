@@ -28,7 +28,7 @@ def main(args=None):
     args = args or cli(Args)
     env = make(args.env_id)
     cfg = ppo_config_from(args)
-    model = CNNAgent(num_actions=env.num_actions, conv_type=args.conv_size)
+    model = CNNAgent(num_actions=env.num_actions, conv_type=args.conv_size, input_scale=args.input_scale)
     init_runner, train_iteration = make_ppo(env, model, cfg)
     return run_training(init_runner, train_iteration, cfg, args)
 

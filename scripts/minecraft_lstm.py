@@ -30,7 +30,7 @@ def main(args=None):
     args = args or cli(Args)
     if args.agent == "old":
         env = make(args.env_id, use_audio=False)
-        model = RecurrentAgent(num_actions=env.num_actions, conv_type=args.conv_size)
+        model = RecurrentAgent(num_actions=env.num_actions, conv_type=args.conv_size, input_scale=args.input_scale)
     else:
         env = make(args.env_id)
         model = MultimodalRecurrentAgent(
@@ -38,6 +38,7 @@ def main(args=None):
             conv_type=args.conv_size,
             attn_type=args.attn_type,
             fusion_type=args.fusion_type,
+            input_scale=args.input_scale,
         )
     cfg = ppo_config_from(args)
     init_runner, train_iteration = make_recurrent_ppo(env, model, cfg)

@@ -65,8 +65,6 @@ def main(args=None):
 
     model = PPGAgent(num_actions=env.num_actions)
     init_runner, ppg_cycle = make_ppg(env, model, cfg)
-    from mmtrl_tpu.algos.ppo.runner import run_training
-
     return run_training(init_runner, ppg_cycle, CycleCfg, args)
 
 

@@ -37,6 +37,7 @@ def main(args=None):
         conv_type=args.conv_size,
         attn_type=args.attn_type,
         fusion_type=args.fusion_type,
+        input_scale=args.input_scale,
     )
     init_runner, train_iteration = make_recurrent_ppo(env, model, cfg)
     return run_training(init_runner, train_iteration, cfg, args)
