@@ -2,11 +2,21 @@
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional
 
 import jax
 import numpy as np
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/mmtrl_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
 
 from mmtrl_tpu.core.checkpoint import save_run
 from mmtrl_tpu.core.metrics import MetricsWriter
