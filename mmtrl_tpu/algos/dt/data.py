@@ -109,32 +109,40 @@ def collect_trajectories(
     num_steps: int,
     num_envs: int,
     policy_fn: Optional[Callable] = None,
+    policy_carry: Optional[object] = None,
     state_dtype: jnp.dtype = jnp.bfloat16,
 ) -> TrajectoryBuffer:
-    """Roll ``policy_fn(key, obs) -> action`` (uniform-random if None) for
-    (num_steps, num_envs) on device and package a TrajectoryBuffer."""
+    """Roll a behavior policy for (num_steps, num_envs) on device and
+    package a TrajectoryBuffer.
+
+    ``policy_fn(key, obs, done, carry) -> (action, carry)``; uniform-random
+    when None.  ``policy_carry`` seeds recurrent policies (LSTM state)."""
 
     if policy_fn is None:
 
-        def policy_fn(k, obs):
-            return jax.random.randint(k, (obs.shape[0],), 0, env.num_actions)
+        def policy_fn(k, obs, done, carry):
+            return (
+                jax.random.randint(k, (obs.shape[0],), 0, env.num_actions),
+                carry,
+            )
 
     def step(carry, _):
-        obs, env_state, t_in_ep, key = carry
+        obs, env_state, t_in_ep, done, p_carry, key = carry
         key, k_act, k_step = jax.random.split(key, 3)
-        action = policy_fn(k_act, obs)
+        action, p_carry = policy_fn(k_act, obs, done, p_carry)
         next_obs, env_state, reward, done, _ = env.v_step(
             jax.random.split(k_step, num_envs), env_state, action
         )
         out = (obs.astype(state_dtype), action.astype(jnp.int32), reward, done, t_in_ep)
         t_next = jnp.where(done, 0, t_in_ep + 1)
-        return (next_obs, env_state, t_next, key), out
+        return (next_obs, env_state, t_next, done, p_carry, key), out
 
     key, k_reset = jax.random.split(key)
     obs, env_state = env.v_reset(jax.random.split(k_reset, num_envs))
     t0 = jnp.zeros(num_envs, dtype=jnp.int32)
+    done0 = jnp.zeros(num_envs, dtype=bool)
     _, (states, actions, rewards, dones, timesteps) = jax.lax.scan(
-        step, (obs, env_state, t0, key), None, length=num_steps
+        step, (obs, env_state, t0, done0, policy_carry, key), None, length=num_steps
     )
     rtg = returns_to_go(rewards, dones)
     episode_starts = timesteps == 0

@@ -52,6 +52,13 @@ class Args:
     print_interval: int = field(50, "log every n steps")
     save_interval: int = field(0, "save every n steps (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    # Behavior policy for data collection (random if unset)
+    policy_from: str = field("", "PPO checkpoint to collect trajectories with")
+    policy_script: str = field("train", "entry script that produced the checkpoint")
+    policy_epsilon: float = field(0.1, "random-action mixture during collection")
+    policy_attn_type: str = field("casl", "behavior agent attention type")
+    policy_conv_size: str = field("small", "behavior agent conv size")
+    policy_input_scale: float = field(1.0, "behavior agent input scale")
 
 
 def main(args=None):
@@ -62,10 +69,42 @@ def main(args=None):
 
     env = make(args.env_id)
     key, k_collect = jax.random.split(key)
+    policy_fn, policy_carry = None, None
+    if args.policy_from:
+        # Behavior policy = trained PPO agent + epsilon-random mixture.
+        from mmtrl_tpu.core.checkpoint import load_run
+        from mmtrl_tpu.models import MultimodalRecurrentAgent
+        from mmtrl_tpu.models.distributions import categorical_sample
+
+        behavior = MultimodalRecurrentAgent(
+            num_actions=env.num_actions,
+            conv_type=args.policy_conv_size,
+            attn_type=args.policy_attn_type or None,
+            fusion_type="sum",
+            input_scale=args.policy_input_scale,
+        )
+        restored = load_run(args.policy_from)
+        b_params = restored["train_state"]["params"]
+        policy_carry = behavior.initial_carry(args.collect_envs)
+        eps = args.policy_epsilon
+
+        def policy_fn(k, obs, done, carry):
+            k_pi, k_rand, k_mix = jax.random.split(k, 3)
+            logits, _, carry = behavior.apply(b_params, obs[None], done[None], carry)
+            a_pi = categorical_sample(k_pi, logits[0])
+            a_rand = jax.random.randint(
+                k_rand, a_pi.shape, 0, env.num_actions, dtype=a_pi.dtype
+            )
+            import jax.numpy as jnp
+
+            mix = jax.random.uniform(k_mix, a_pi.shape) < eps
+            return jnp.where(mix, a_rand, a_pi), carry
+
     print(f"collecting {args.collect_steps}x{args.collect_envs} steps...")
     buffer = jax.jit(
         lambda k: collect_trajectories(
-            env, k, args.collect_steps, args.collect_envs
+            env, k, args.collect_steps, args.collect_envs,
+            policy_fn=policy_fn, policy_carry=policy_carry,
         )
     )(k_collect)
     print(
