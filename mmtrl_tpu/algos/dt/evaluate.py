@@ -28,7 +28,12 @@ def evaluate_dt(
     num_envs: int = 16,
     num_steps: int = 64,
     greedy: bool = True,
+    rtg_clip: float = None,
 ) -> Dict[str, jnp.ndarray]:
+    """``rtg_clip`` bounds the running return-to-go to the training data's
+    support: with negative step rewards ``rt = target - sum(r)`` otherwise
+    climbs past any value seen in training (conditioning goes out of
+    distribution and the policy degrades)."""
     model = DecisionTransformer(model_cfg)
     K = model_cfg.context_len
 
@@ -75,6 +80,8 @@ def evaluate_dt(
         )
         stats = c["stats"].update(reward, done)
         rt = jnp.where(done, target_return, c["rt"] - reward)
+        if rtg_clip is not None:
+            rt = jnp.minimum(rt, rtg_clip)
         t_next = jnp.where(done, 0, c["t_in_ep"] + 1)
 
         # On done, clear the context so the new episode starts fresh.

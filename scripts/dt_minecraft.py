@@ -47,6 +47,7 @@ class Args:
     total_steps: int = field(5000, "gradient steps")
     warmup_steps: int = field(512, "LR warmup steps")
     target_return: float = field(10.0, "evaluation return-to-go conditioning")
+    rtg_clip: float = field(10.0, "cap the running rtg at the data support")
     eval_envs: int = field(16, "evaluation envs")
     eval_steps: int = field(64, "evaluation env steps")
     print_interval: int = field(50, "log every n steps")
@@ -135,14 +136,16 @@ def main(args=None):
     print(f"DT params: {n_params/1e6:.1f}M")
 
     train_step = jax.jit(make_dt_train_step(model_cfg))
+    # NB: the buffer must be an ARGUMENT, not a closure — closed-over device
+    # arrays are baked into the HLO as constants (gigabytes of literal).
     sample = jax.jit(
-        lambda k: buffer.sample(k, args.batch_size, args.context_len)
+        lambda buf, k: buf.sample(k, args.batch_size, args.context_len)
     )
 
     start = time.time()
     for step in range(1, args.total_steps + 1):
         key, k_batch, k_drop = jax.random.split(key, 3)
-        state, metrics = train_step(state, sample(k_batch), k_drop)
+        state, metrics = train_step(state, sample(buffer, k_batch), k_drop)
         if step % args.print_interval == 0:
             metrics = jax.device_get(metrics)
             tokens_sec = (
@@ -161,16 +164,17 @@ def main(args=None):
     key, k_eval = jax.random.split(key)
     results = jax.device_get(
         jax.jit(
-            lambda k: evaluate_dt(
+            lambda params, k: evaluate_dt(
                 env,
                 model_cfg,
-                state.params,
+                params,
                 k,
                 args.target_return,
                 num_envs=args.eval_envs,
                 num_steps=args.eval_steps,
+                rtg_clip=args.rtg_clip,
             )
-        )(k_eval)
+        )(state.params, k_eval)
     )
     for tag, val in results.items():
         writer.scalar(tag, float(val), args.total_steps)
