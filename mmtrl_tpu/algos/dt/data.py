@@ -49,11 +49,14 @@ class TrajectoryBuffer:
     need host-side episode indexing because sampling masks out any prefix
     belonging to an earlier episode."""
 
-    states: jnp.ndarray  # (T, N, ...) float
+    states: jnp.ndarray  # (T, N, prod(state_shape)) — stored FLAT: TPU tiled
+    # layouts pad small trailing dims (e.g. (..., 2, 84, 84) tiles to ~8x its
+    # logical size in HBM); a flat minor dim stays dense.
     actions: jnp.ndarray  # (T, N) int32
     rtg: jnp.ndarray  # (T, N) float32
     timesteps: jnp.ndarray  # (T, N) int32
     episode_starts: jnp.ndarray  # (T, N) bool: step t begins a new episode
+    state_shape: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def horizon(self) -> int:
@@ -82,7 +85,7 @@ class TrajectoryBuffer:
         def gather(x):
             return x[t_idx, n_idx[:, None]]
 
-        states = gather(self.states)
+        states = gather(self.states).reshape((batch_size, K) + self.state_shape)
         actions = gather(self.actions)
         rtg = gather(self.rtg)
         timesteps = gather(self.timesteps)
@@ -133,7 +136,13 @@ def collect_trajectories(
         next_obs, env_state, reward, done, _ = env.v_step(
             jax.random.split(k_step, num_envs), env_state, action
         )
-        out = (obs.astype(state_dtype), action.astype(jnp.int32), reward, done, t_in_ep)
+        out = (
+            obs.astype(state_dtype).reshape(num_envs, -1),
+            action.astype(jnp.int32),
+            reward,
+            done,
+            t_in_ep,
+        )
         t_next = jnp.where(done, 0, t_in_ep + 1)
         return (next_obs, env_state, t_next, done, p_carry, key), out
 
@@ -152,4 +161,5 @@ def collect_trajectories(
         rtg=rtg,
         timesteps=timesteps,
         episode_starts=episode_starts,
+        state_shape=tuple(obs.shape[1:]),
     )

@@ -48,6 +48,7 @@ class Args:
     warmup_steps: int = field(512, "LR warmup steps")
     target_return: float = field(10.0, "evaluation return-to-go conditioning")
     rtg_clip: float = field(10.0, "cap the running rtg at the data support")
+    eval_greedy: bool = field(True, "argmax actions at eval (False: sample)")
     eval_envs: int = field(16, "evaluation envs")
     eval_steps: int = field(64, "evaluation env steps")
     print_interval: int = field(50, "log every n steps")
@@ -173,6 +174,7 @@ def main(args=None):
                 num_envs=args.eval_envs,
                 num_steps=args.eval_steps,
                 rtg_clip=args.rtg_clip,
+                greedy=args.eval_greedy,
             )
         )(state.params, k_eval)
     )

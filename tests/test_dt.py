@@ -72,7 +72,11 @@ def test_collect_trajectories_shapes():
     buf = jax.jit(lambda k: collect_trajectories(env, k, 32, 2))(
         jax.random.PRNGKey(0)
     )
-    assert buf.states.shape == (32, 2, 2, 84, 84)
+    # states stored flat (TPU layout); sample() restores (B, K, *state_shape)
+    assert buf.states.shape == (32, 2, 2 * 84 * 84)
+    assert buf.state_shape == (2, 84, 84)
+    rtg, states, actions, ts, mask = buf.sample(jax.random.PRNGKey(1), 4, 5)
+    assert states.shape == (4, 5, 2, 84, 84)
     assert buf.actions.shape == buf.rtg.shape == buf.timesteps.shape == (32, 2)
     # rtg is consistent: at episode starts, rtg equals the sum of rewards of
     # that episode — at minimum, rtg is finite and bounded by reward scale.
