@@ -106,7 +106,7 @@ def evaluate_dt(
     final, _ = jax.lax.scan(step, init, None, length=num_steps)
     stats = final["stats"]
     return {
-        "eval/episodic_return": stats.returned_episode_returns.mean(),
-        "eval/episodic_length": stats.returned_episode_lengths.mean(),
+        "eval/episodic_return": stats.mean_return,
+        "eval/episodic_length": stats.mean_length,
         "eval/episodes": stats.episode_count,
     }

@@ -51,6 +51,9 @@ def run_offpolicy(
             last_return = float(np.mean(stats.returned_episode_returns))
             writer.scalar("charts/episodic_return", last_return, global_step)
             writer.scalar(
+                "charts/mean_episodic_return", float(stats.mean_return), global_step
+            )
+            writer.scalar(
                 "charts/episodic_length",
                 float(np.mean(stats.returned_episode_lengths)),
                 global_step,

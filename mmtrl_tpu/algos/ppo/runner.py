@@ -79,6 +79,9 @@ def run_training(
             last_return = mean_return
             writer.scalar("charts/episodic_return", mean_return, global_step)
             writer.scalar(
+                "charts/mean_episodic_return", float(stats.mean_return), global_step
+            )
+            writer.scalar(
                 "charts/episodic_length",
                 float(np.mean(stats.returned_episode_lengths)),
                 global_step,

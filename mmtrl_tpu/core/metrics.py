@@ -30,6 +30,8 @@ class EpisodeStatistics:
     returned_episode_returns: jnp.ndarray  # (num_envs,) last completed return
     returned_episode_lengths: jnp.ndarray  # (num_envs,) last completed length
     episode_count: jnp.ndarray  # () total completed episodes
+    sum_returns: jnp.ndarray  # () sum of ALL completed episode returns
+    sum_lengths: jnp.ndarray  # () sum of ALL completed episode lengths
 
     @classmethod
     def create(cls, num_envs: int) -> "EpisodeStatistics":
@@ -40,7 +42,18 @@ class EpisodeStatistics:
             returned_episode_returns=z,
             returned_episode_lengths=z,
             episode_count=jnp.zeros((), dtype=jnp.int32),
+            sum_returns=jnp.zeros(()),
+            sum_lengths=jnp.zeros(()),
         )
+
+    @property
+    def mean_return(self) -> jnp.ndarray:
+        """Mean over ALL completed episodes (not just each env's last)."""
+        return self.sum_returns / jnp.maximum(self.episode_count, 1)
+
+    @property
+    def mean_length(self) -> jnp.ndarray:
+        return self.sum_lengths / jnp.maximum(self.episode_count, 1)
 
     def update(self, reward: jnp.ndarray, done: jnp.ndarray) -> "EpisodeStatistics":
         """Accumulate one vectorized env step (raw, pre-clip rewards)."""
@@ -57,6 +70,8 @@ class EpisodeStatistics:
                 done, new_lengths, self.returned_episode_lengths
             ),
             episode_count=self.episode_count + done.astype(jnp.int32).sum(),
+            sum_returns=self.sum_returns + jnp.where(done, new_returns, 0.0).sum(),
+            sum_lengths=self.sum_lengths + jnp.where(done, new_lengths, 0.0).sum(),
         )
 
 

@@ -56,7 +56,7 @@ def evaluate_policy(
         step, (obs, env_state, done, carry, stats, key), None, length=num_steps
     )
     return {
-        "eval/episodic_return": stats.returned_episode_returns.mean(),
-        "eval/episodic_length": stats.returned_episode_lengths.mean(),
+        "eval/episodic_return": stats.mean_return,
+        "eval/episodic_length": stats.mean_length,
         "eval/episodes": stats.episode_count,
     }
