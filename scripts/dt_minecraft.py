@@ -42,6 +42,7 @@ class Args:
     n_layers: int = field(6, "transformer depth")
     n_heads: int = field(4, "attention heads (head_dim = d_model/n_heads)")
     dropout: float = field(0.1, "dropout rate")
+    max_timestep: int = field(64, "timestep embedding table size (> max episode len)")
     batch_size: int = field(64, "training batch size")
     learning_rate: float = field(6e-4, "peak learning rate")
     total_steps: int = field(5000, "gradient steps")
@@ -121,7 +122,7 @@ def main(args=None):
         n_layers=args.n_layers,
         n_heads=args.n_heads,
         dropout=args.dropout,
-        max_timestep=64,
+        max_timestep=args.max_timestep,
     )
     train_cfg = DTTrainConfig(
         learning_rate=args.learning_rate,
