@@ -105,9 +105,20 @@ class MetricsWriter:
             self.scalar(tag, value, step)
 
     def sps(self, global_step: int) -> float:
-        sps = global_step / max(time.time() - self.start_time, 1e-9)
-        self.scalar("charts/SPS", sps, global_step)
-        return sps
+        """Windowed steps/sec since the previous call (the cumulative average
+        buries compile time); also logs the cumulative value."""
+        now = time.time()
+        last_step = getattr(self, "_last_step", 0)
+        last_time = getattr(self, "_last_time", self.start_time)
+        window = (global_step - last_step) / max(now - last_time, 1e-9)
+        self._last_step, self._last_time = global_step, now
+        self.scalar("charts/SPS", window, global_step)
+        self.scalar(
+            "charts/SPS_cumulative",
+            global_step / max(now - self.start_time, 1e-9),
+            global_step,
+        )
+        return window
 
     def close(self) -> None:
         self.writer.close()
