@@ -21,7 +21,7 @@ from flax.training.train_state import TrainState
 
 from mmtrl_tpu.algos.offpolicy.common import OffPolicyRunner, linear_epsilon
 from mmtrl_tpu.core.metrics import EpisodeStatistics
-from mmtrl_tpu.data.buffers import ReplayBuffer
+from mmtrl_tpu.data.buffers import PrioritizedReplayBuffer, ReplayBuffer
 from mmtrl_tpu.envs.base import Environment
 
 
@@ -41,6 +41,11 @@ class DQNConfig:
     learning_starts: int = 10_000
     train_frequency: int = 10
     steps_per_iteration: int = 512  # env steps fused into one jitted call
+    # Prioritized replay (Schaul et al.; the reference's
+    # PrioritizedReplayBuffer, cleanrl_utils/buffers.py:581)
+    prioritized_replay: bool = False
+    per_alpha: float = 0.6
+    per_beta_start: float = 0.4  # annealed to 1.0 over total_timesteps
 
     @property
     def num_iterations(self) -> int:
@@ -69,7 +74,12 @@ def make_dqn(env: Environment, model, cfg: DQNConfig):
             next_obs=obs[0],
             done=jnp.float32(0),
         )
-        buffer = ReplayBuffer.create(example, cfg.buffer_size)
+        if cfg.prioritized_replay:
+            buffer = PrioritizedReplayBuffer.create(
+                example, cfg.buffer_size, alpha=cfg.per_alpha
+            )
+        else:
+            buffer = ReplayBuffer.create(example, cfg.buffer_size)
         return OffPolicyRunner(
             train_state=ts,
             buffer=buffer,
@@ -80,7 +90,7 @@ def make_dqn(env: Environment, model, cfg: DQNConfig):
             key=key,
         )
 
-    def td_update(ts: DQNTrainState, batch):
+    def td_update(ts: DQNTrainState, batch, weights=None):
         q_next = model.apply(ts.target_params, batch["next_obs"])  # (B, A)
         td_target = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * q_next.max(
             axis=-1
@@ -91,10 +101,16 @@ def make_dqn(env: Environment, model, cfg: DQNConfig):
             q_a = jnp.take_along_axis(
                 q, batch["action"][:, None].astype(jnp.int32), axis=-1
             )[:, 0]
-            return ((q_a - td_target) ** 2).mean(), q_a.mean()
+            td_error = q_a - td_target
+            per_sample = td_error**2
+            if weights is not None:  # PER importance-sampling correction
+                per_sample = per_sample * weights
+            return per_sample.mean(), (q_a.mean(), jnp.abs(td_error))
 
-        (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
-        return ts.apply_gradients(grads=grads), loss, q_mean
+        (loss, (q_mean, td_abs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params)
+        return ts.apply_gradients(grads=grads), loss, q_mean, td_abs
 
     def step_fn(runner: OffPolicyRunner, _):
         key, k_eps, k_act, k_step, k_sample = jax.random.split(runner.key, 5)
@@ -132,17 +148,42 @@ def make_dqn(env: Environment, model, cfg: DQNConfig):
             (global_step // cfg.num_envs) % cfg.train_frequency == 0
         )
 
-        def do_update(ts):
-            batch = buffer.sample(k_sample, cfg.batch_size)
-            ts, loss, q_mean = td_update(ts, batch)
-            return ts, loss, q_mean
+        if cfg.prioritized_replay:
+            beta = jnp.clip(
+                cfg.per_beta_start
+                + (1.0 - cfg.per_beta_start)
+                * global_step.astype(jnp.float32)
+                / cfg.total_timesteps,
+                cfg.per_beta_start,
+                1.0,
+            )
 
-        ts, loss, q_mean = jax.lax.cond(
-            should_train,
-            do_update,
-            lambda ts: (ts, jnp.float32(0), jnp.float32(0)),
-            runner.train_state,
-        )
+            def do_update(carry):
+                ts, buf = carry
+                batch, idx, weights = buf.sample(k_sample, cfg.batch_size, beta)
+                ts, loss, q_mean, td_abs = td_update(ts, batch, weights)
+                buf = buf.update_priorities(idx, td_abs)
+                return (ts, buf), loss, q_mean
+
+            (ts, buffer), loss, q_mean = jax.lax.cond(
+                should_train,
+                do_update,
+                lambda c: (c, jnp.float32(0), jnp.float32(0)),
+                (runner.train_state, buffer),
+            )
+        else:
+
+            def do_update(ts):
+                batch = buffer.sample(k_sample, cfg.batch_size)
+                ts, loss, q_mean, _ = td_update(ts, batch)
+                return ts, loss, q_mean
+
+            ts, loss, q_mean = jax.lax.cond(
+                should_train,
+                do_update,
+                lambda ts: (ts, jnp.float32(0), jnp.float32(0)),
+                runner.train_state,
+            )
         # Target network update (hard when tau=1, polyak otherwise).
         should_sync = (global_step // cfg.num_envs) % (
             cfg.target_network_frequency

@@ -40,6 +40,9 @@ class Args:
     learning_starts: int = field(10000, "timestep to start learning")
     train_frequency: int = field(10, "the frequency of training")
     steps_per_iteration: int = field(512, "env steps fused per jitted call")
+    prioritized_replay: bool = field(False, "use prioritized experience replay")
+    per_alpha: float = field(0.6, "PER priority exponent")
+    per_beta_start: float = field(0.4, "PER IS-weight exponent (annealed to 1)")
     print_interval: int = field(1, "print stats every so iterations")
     save_interval: int = field(0, "save every n iterations (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
@@ -63,6 +66,9 @@ def main(args=None):
         learning_starts=args.learning_starts,
         train_frequency=args.train_frequency,
         steps_per_iteration=args.steps_per_iteration,
+        prioritized_replay=args.prioritized_replay,
+        per_alpha=args.per_alpha,
+        per_beta_start=args.per_beta_start,
     )
     model = QNetwork(num_actions=env.num_actions)
     init_runner, train_iteration = make_dqn(env, model, cfg)

@@ -137,3 +137,10 @@ def test_ppo_rnd():
          "--num-envs", "2", "--num-steps", "32", "--num-minibatches", "2",
          "--update-epochs", "1", "--print-interval", "10"],
     )
+
+
+def test_dqn_prioritized():
+    run_main(
+        "dqn",
+        OFFPOLICY + ["--env-id", "CartPole-v1", "--prioritized-replay", "True"],
+    )
