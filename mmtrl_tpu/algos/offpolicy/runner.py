@@ -19,7 +19,10 @@ except Exception:
     pass
 
 from mmtrl_tpu.core.checkpoint import save_run
+from mmtrl_tpu.core.distributed import maybe_initialize_distributed
 from mmtrl_tpu.core.metrics import MetricsWriter
+
+maybe_initialize_distributed()
 
 
 def run_offpolicy(
