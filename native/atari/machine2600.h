@@ -1,0 +1,135 @@
+// Atari 2600 machine skeleton: 6507 memory map + frame timing + stereo
+// audio tap.
+//
+// Maps the 13-bit bus to TIA / RIOT / cartridge, implements WSYNC
+// (halt-to-scanline-boundary) and NTSC frame pacing, and streams the TIA
+// audio pair at 2 samples per scanline — enough to EXECUTE real 4K ROMs
+// (Skeleton+ included) and observe their audio/timer behavior.  TIA video
+// reads return open-bus-ish defaults and the beam state is timing-only:
+// rendering the playfield/sprite pipeline is the remaining work for a
+// pixel-accurate core (tracked in COVERAGE.md).
+
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "m6502.h"
+#include "riot.h"
+#include "tia_audio.h"
+
+namespace mmtrl {
+
+class Machine2600 {
+ public:
+  static constexpr int kCyclesPerScanline = 76;  // 228 color clocks / 3
+  static constexpr int kScanlinesPerFrame = 262;
+
+  explicit Machine2600(const uint8_t* rom, size_t size)
+      : cpu_(Bus{[this](uint16_t a) { return bus_read(a); },
+                 [this](uint16_t a, uint8_t v) { bus_write(a, v); }}) {
+    rom_.assign(rom, rom + size);
+    rom_mask_ = size - 1;  // 2K/4K powers of two
+    cpu_.reset();
+  }
+
+  // Runs one scanline worth of CPU; returns false if the CPU hit an
+  // obviously invalid state.  Audio is sampled twice per scanline.
+  void run_scanline() {
+    halted_ = false;
+    int target = scanline_cycle_ + kCyclesPerScanline;
+    while (scanline_cycle_ < target && !halted_) {
+      int c = cpu_.step();
+      scanline_cycle_ += c;
+      riot_.tick(c);
+    }
+    if (halted_) riot_.tick(target - scanline_cycle_);
+    scanline_cycle_ = 0;
+    ++scanline_;
+    if (scanline_ >= kScanlinesPerFrame) {
+      scanline_ = 0;
+      ++frame_;
+    }
+    uint8_t l, r;
+    audio_.clock(&l, &r);
+    audio_left_.push_back(l);
+    audio_right_.push_back(r);
+    audio_.clock(&l, &r);
+    audio_left_.push_back(l);
+    audio_right_.push_back(r);
+  }
+
+  void run_frames(int n) {
+    for (int i = 0; i < n * kScanlinesPerFrame; ++i) run_scanline();
+  }
+
+  M6502& cpu() { return cpu_; }
+  Riot& riot() { return riot_; }
+  TiaAudio& audio() { return audio_; }
+  uint64_t frame() const { return frame_; }
+  const std::vector<uint8_t>& audio_left() const { return audio_left_; }
+  const std::vector<uint8_t>& audio_right() const { return audio_right_; }
+  int tia_writes = 0;
+  int audio_reg_writes = 0;
+
+ private:
+  uint8_t bus_read(uint16_t addr) {
+    addr &= 0x1FFF;  // 6507: 13 address lines
+    if (addr & 0x1000) return rom_[addr & rom_mask_];
+    if ((addr & 0x0280) == 0x0080) return riot_.ram[addr & 0x7F];
+    if ((addr & 0x0280) == 0x0280) {  // RIOT I/O + timer
+      switch (addr & 0x07) {
+        case 0x00: return riot_.swcha;
+        case 0x01: return 0xFF;  // SWACNT
+        case 0x02: return riot_.swchb;
+        case 0x03: return 0xFF;  // SWBCNT
+        case 0x04: case 0x06: return riot_.read_intim();
+        case 0x05: case 0x07: return riot_.read_instat();
+      }
+      return 0xFF;
+    }
+    // TIA read space: collision latches / input ports -> inactive.
+    uint8_t reg = addr & 0x0F;
+    if (reg >= 0x08 && reg <= 0x0D) return 0x80;  // INPT0-5: not pressed
+    return 0x00;
+  }
+
+  void bus_write(uint16_t addr, uint8_t value) {
+    addr &= 0x1FFF;
+    if (addr & 0x1000) return;  // ROM
+    if ((addr & 0x0280) == 0x0080) {
+      riot_.ram[addr & 0x7F] = value;
+      return;
+    }
+    if ((addr & 0x0280) == 0x0280) {
+      if ((addr & 0x1F) >= 0x14 && (addr & 0x1F) <= 0x17) {
+        riot_.write_timer(addr & 0x03, value);
+      }
+      return;
+    }
+    // TIA
+    ++tia_writes;
+    uint8_t reg = addr & 0x3F;
+    if (reg == 0x02) {  // WSYNC
+      halted_ = true;
+    } else if (reg >= 0x15 && reg <= 0x1A) {
+      ++audio_reg_writes;
+      audio_.write(reg, value);
+    }
+    // (video registers accepted and ignored until the TIA beam lands)
+  }
+
+  M6502 cpu_;
+  Riot riot_;
+  TiaAudio audio_;
+  std::vector<uint8_t> rom_;
+  size_t rom_mask_ = 0xFFF;
+  bool halted_ = false;
+  int scanline_cycle_ = 0;
+  int scanline_ = 0;
+  uint64_t frame_ = 0;
+  std::vector<uint8_t> audio_left_, audio_right_;
+};
+
+}  // namespace mmtrl

@@ -1,0 +1,86 @@
+// Machine2600 tests with a synthetic hand-assembled cartridge (no external
+// ROM needed): audio register programming, WSYNC pacing, RIOT timer polling.
+
+#include "machine2600.h"
+
+#include <cstdio>
+#include <vector>
+
+using mmtrl::Machine2600;
+
+#define CHECK(cond)                                                          \
+  do {                                                                        \
+    if (!(cond)) {                                                            \
+      std::fprintf(stderr, "FAILED %s:%d: %s\n", __FILE__, __LINE__, #cond);  \
+      return 1;                                                               \
+    }                                                                         \
+  } while (0)
+
+// Build a 4K image: program at $F000, reset vector -> $F000.
+static std::vector<uint8_t> make_rom(std::initializer_list<uint8_t> prog) {
+  std::vector<uint8_t> rom(4096, 0xEA);
+  size_t i = 0;
+  for (uint8_t b : prog) rom[i++] = b;
+  rom[0xFFC & 0xFFF] = 0x00;  // reset vector lo -> $F000
+  rom[0xFFD & 0xFFF] = 0xF0;
+  return rom;
+}
+
+static int test_audio_program() {
+  // LDA #$04; STA AUDC0($15)  (pure tone)
+  // LDA #$05; STA AUDF0($17)
+  // LDA #$0F; STA AUDV0($19)
+  // loop: STA WSYNC($02); JMP loop
+  auto rom = make_rom({
+      0xA9, 0x04, 0x85, 0x15,
+      0xA9, 0x05, 0x85, 0x17,
+      0xA9, 0x0F, 0x85, 0x19,
+      0x85, 0x02, 0x4C, 0x0C, 0xF0,
+  });
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(2);
+  CHECK(m.audio_reg_writes == 3);
+  CHECK(m.frame() == 2);
+  const auto& l = m.audio_left();
+  CHECK(l.size() == 2 * 2 * 262);
+  int nonzero = 0;
+  for (uint8_t s : l) nonzero += s != 0;
+  // pure tone at full volume: roughly half the samples high
+  CHECK(nonzero > (int)l.size() / 4 && nonzero < (int)l.size() * 3 / 4);
+  return 0;
+}
+
+static int test_wsync_pacing() {
+  // An infinite WSYNC loop must advance exactly one scanline per loop and
+  // consume far fewer CPU cycles than free-running code would.
+  auto rom = make_rom({0x85, 0x02, 0x4C, 0x00, 0xF0});
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(1);
+  CHECK(m.frame() == 1);
+  // Each scanline: STA(3) + JMP(3) then halt -> ~6-9 cycles of 76.
+  CHECK(m.cpu().total_cycles < 262 * 20);
+  return 0;
+}
+
+static int test_riot_timer_poll() {
+  // TIM64T = 2; poll INTIM until zero; then write $80 to RAM $80.
+  auto rom = make_rom({
+      0xA9, 0x02, 0x8D, 0x96, 0x02,        // LDA #2; STA TIM64T
+      0xAD, 0x84, 0x02, 0xD0, 0xFB,        // poll: LDA INTIM; BNE poll
+      0xA9, 0x80, 0x85, 0x80,              // LDA #$80; STA $80
+      0x4C, 0x0E, 0xF0,                    // spin
+  });
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(1);
+  CHECK(m.riot().ram[0] == 0x80);
+  return 0;
+}
+
+int main() {
+  int failures = 0;
+  failures += test_audio_program();
+  failures += test_wsync_pacing();
+  failures += test_riot_timer_poll();
+  if (failures == 0) std::printf("machine2600: all tests passed\n");
+  return failures;
+}
