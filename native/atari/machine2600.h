@@ -18,6 +18,7 @@
 #include "m6502.h"
 #include "riot.h"
 #include "tia_audio.h"
+#include "tia_video.h"
 
 namespace mmtrl {
 
@@ -45,6 +46,7 @@ class Machine2600 {
       riot_.tick(c);
     }
     if (halted_) riot_.tick(target - scanline_cycle_);
+    video_.end_scanline();
     scanline_cycle_ = 0;
     ++scanline_;
     if (scanline_ >= kScanlinesPerFrame) {
@@ -67,6 +69,7 @@ class Machine2600 {
   M6502& cpu() { return cpu_; }
   Riot& riot() { return riot_; }
   TiaAudio& audio() { return audio_; }
+  TiaVideo& video() { return video_; }
   uint64_t frame() const { return frame_; }
   const std::vector<uint8_t>& audio_left() const { return audio_left_; }
   const std::vector<uint8_t>& audio_right() const { return audio_right_; }
@@ -89,8 +92,9 @@ class Machine2600 {
       }
       return 0xFF;
     }
-    // TIA read space: collision latches / input ports -> inactive.
+    // TIA read space: collision latches + input ports.
     uint8_t reg = addr & 0x0F;
+    if (reg <= 0x07) return video_.read_collision(reg);
     if (reg >= 0x08 && reg <= 0x0D) return 0x80;  // INPT0-5: not pressed
     return 0x00;
   }
@@ -116,13 +120,15 @@ class Machine2600 {
     } else if (reg >= 0x15 && reg <= 0x1A) {
       ++audio_reg_writes;
       audio_.write(reg, value);
+    } else {
+      video_.write(reg, value, scanline_cycle_ * 3);
     }
-    // (video registers accepted and ignored until the TIA beam lands)
   }
 
   M6502 cpu_;
   Riot riot_;
   TiaAudio audio_;
+  TiaVideo video_;
   std::vector<uint8_t> rom_;
   size_t rom_mask_ = 0xFFF;
   bool halted_ = false;

@@ -76,8 +76,66 @@ static int test_riot_timer_poll() {
   return 0;
 }
 
+static int test_playfield_render() {
+  // Draw a solid playfield stripe: COLUPF=$0E, PF1=$FF, VBLANK off,
+  // then WSYNC loop; VSYNC pulse at 'frame end' so a frame completes.
+  auto rom = make_rom({
+      0xA9, 0x0E, 0x85, 0x08,  // COLUPF = $0E
+      0xA9, 0xFF, 0x85, 0x0E,  // PF1 = $FF
+      0xA9, 0x00, 0x85, 0x01,  // VBLANK off
+      // line loop: 100 scanlines of WSYNC
+      0xA2, 0x64,              // LDX #100
+      0x85, 0x02, 0xCA, 0xD0, 0xFB,  // l1: STA WSYNC; DEX; BNE l1
+      // VSYNC pulse
+      0xA9, 0x02, 0x85, 0x00, 0x85, 0x02, 0xA9, 0x00, 0x85, 0x00,
+      0x4C, 0x0C, 0xF0,        // JMP back to LDX #100
+  });
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(3);
+  const auto& fr = m.video().frame();
+  CHECK(m.video().frames_completed >= 1);
+  CHECK(fr.size() >= 90);
+  // PF1 covers playfield dots 4-11 -> pixels 16..47 on the left half and
+  // (repeated) 96..127 on the right half.
+  const auto& line = fr[10];
+  CHECK(line[20] == (0x0E >> 1));
+  CHECK(line[100] == (0x0E >> 1));
+  CHECK(line[0] == 0);   // background outside PF1
+  CHECK(line[60] == 0);
+  return 0;
+}
+
+static int test_player_sprite_and_collision() {
+  // Position P0 via RESP0 after some delay, draw GRP0=$FF over a full
+  // playfield -> P0-PF collision latches.
+  auto rom = make_rom({
+      0xA9, 0x0E, 0x85, 0x08,        // COLUPF
+      0xA9, 0xFF, 0x85, 0x0D, 0x85, 0x0E, 0x85, 0x0F,  // PF0/1/2 = $FF
+      0xA9, 0x00, 0x85, 0x01,        // VBLANK off
+      0xA9, 0x44, 0x85, 0x06,        // COLUP0
+      0xEA, 0xEA, 0xEA, 0x85, 0x10,  // delay; RESP0
+      0xA9, 0xFF, 0x85, 0x1B,        // GRP0 = $FF
+      0xA2, 0x64,                    // $F01D: LDX #100
+      0x85, 0x02, 0xCA, 0xD0, 0xFB,  // 100 x WSYNC
+      0xA9, 0x02, 0x85, 0x00, 0x85, 0x02, 0xA9, 0x00, 0x85, 0x00,
+      0x4C, 0x1D, 0xF0,              // JMP $F01D (LDX, not mid-instruction)
+  });
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(3);
+  // CXP0FB bit7 = P0-PF collision
+  CHECK(m.video().read_collision(0x2) & 0x80);
+  const auto& fr = m.video().frame();
+  bool p0_seen = false;
+  for (auto& line : fr)
+    for (uint8_t px : line) p0_seen |= px == (0x44 >> 1);
+  CHECK(p0_seen);
+  return 0;
+}
+
 int main() {
   int failures = 0;
+  failures += test_playfield_render();
+  failures += test_player_sprite_and_collision();
   failures += test_audio_program();
   failures += test_wsync_pacing();
   failures += test_riot_timer_poll();
