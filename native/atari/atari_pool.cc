@@ -51,7 +51,7 @@ void step_one(mmtrl::Machine2600* m, size_t* audio_cursor, uint8_t action,
   if (action & 0x08) swcha &= ~0x80;  // right
   m->riot().swcha = swcha;
   m->riot().swchb = (action & 0x20) ? 0x0A : 0x0B;  // console reset
-  // (fire = INPT4; wired when input latches move into the TIA read path)
+  m->fire[0] = (action & 0x10) != 0;                // INPT4 fire button
   m->run_frames(1);
 
   const auto& fr = m->video().frame();

@@ -75,6 +75,8 @@ class Machine2600 {
   const std::vector<uint8_t>& audio_right() const { return audio_right_; }
   int tia_writes = 0;
   int audio_reg_writes = 0;
+  // INPT4/5: joystick fire buttons, active low (true = pressed).
+  bool fire[2] = {false, false};
 
  private:
   uint8_t bus_read(uint16_t addr) {
@@ -95,7 +97,9 @@ class Machine2600 {
     // TIA read space: collision latches + input ports.
     uint8_t reg = addr & 0x0F;
     if (reg <= 0x07) return video_.read_collision(reg);
-    if (reg >= 0x08 && reg <= 0x0D) return 0x80;  // INPT0-5: not pressed
+    if (reg == 0x0C) return fire[0] ? 0x00 : 0x80;  // INPT4
+    if (reg == 0x0D) return fire[1] ? 0x00 : 0x80;  // INPT5
+    if (reg >= 0x08 && reg <= 0x0B) return 0x80;    // paddle pots: max
     return 0x00;
   }
 
