@@ -86,7 +86,16 @@ def cli(config_cls: Type[T], argv: Optional[Sequence[str]] = None) -> T:
         if not field.init or field.metadata.get("derived", False):
             continue
         kwargs[field.name] = getattr(ns, field.name)
-    return config_cls(**kwargs)
+    args = config_cls(**kwargs)
+    # --platform: force the JAX backend before any computation runs.  The
+    # environment's TPU plugin may pin JAX_PLATFORMS at interpreter start,
+    # so the env var alone is not honored; the config update is.
+    platform = getattr(args, "platform", "")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return args
 
 
 def asdict_flat(config: Any) -> dict[str, Any]:

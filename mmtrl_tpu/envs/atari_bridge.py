@@ -56,6 +56,11 @@ def load_native() -> ctypes.CDLL:
             ptr(np.uint8, flags="C_CONTIGUOUS"),
             ptr(np.float32, flags="C_CONTIGUOUS"),
         ]
+        lib.mmtrl_atari_ram.restype = None
+        lib.mmtrl_atari_ram.argtypes = [
+            ctypes.c_int64,
+            ptr(np.uint8, flags="C_CONTIGUOUS"),
+        ]
         lib.mmtrl_atari_close.restype = None
         lib.mmtrl_atari_close.argtypes = [ctypes.c_int64]
         _lib = lib
@@ -88,6 +93,12 @@ class AtariPool:
         audio = np.zeros((self.num_envs, 2, self.audio_len), np.float32)
         self._lib.mmtrl_atari_step(self._handle, actions, frames, audio)
         return frames, audio
+
+    def ram(self) -> np.ndarray:
+        """(N, 128) uint8 RIOT RAM snapshot of every machine."""
+        out = np.zeros((self.num_envs, 128), np.uint8)
+        self._lib.mmtrl_atari_ram(self._handle, out)
+        return out
 
     def close(self):
         if self._handle > 0:

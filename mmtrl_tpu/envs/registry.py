@@ -51,3 +51,9 @@ def _populate() -> None:
 
     register("minecraft_ma", "MultiAgentMinecraft2d")(MultiAgentMinecraft2d)
     register("skeleton_plus", "SkeletonPlus")(SkeletonPlusSim)
+
+    from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
+
+    # Runs the REAL SkelPlus.bin on the native 2600 core; requires
+    # num_envs (and optionally rom_path/frameskip/...) kwargs.
+    register("skeleton_plus_native")(NativeSkeletonPlus)

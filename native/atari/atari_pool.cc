@@ -70,7 +70,8 @@ void step_one(mmtrl::Machine2600* m, size_t* audio_cursor, uint8_t action,
     audio_out[i] = lv;
     audio_out[kAudioPerFrame + i] = rv;
   }
-  *audio_cursor = l.size();
+  m->consume_audio(l.size());
+  *audio_cursor = 0;
 }
 
 }  // namespace
@@ -138,6 +139,19 @@ void mmtrl_atari_step(int64_t handle, const uint8_t* actions,
     });
   }
   for (auto& t : ts) t.join();
+}
+
+// Dump the 128-byte RIOT RAM of every machine (out: n*128). Game state
+// lives here — reward/termination adapters and RAM reconnaissance both
+// read it (the ALE per-game approach).
+void mmtrl_atari_ram(int64_t handle, uint8_t* out) {
+  AtariPool* pool;
+  {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    pool = g_pools.at(handle);
+  }
+  for (size_t i = 0; i < pool->machines.size(); ++i)
+    std::memcpy(out + i * 128, pool->machines[i]->riot().ram, 128);
 }
 
 void mmtrl_atari_close(int64_t handle) {

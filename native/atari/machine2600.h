@@ -1,13 +1,11 @@
-// Atari 2600 machine skeleton: 6507 memory map + frame timing + stereo
-// audio tap.
+// Atari 2600 machine: 6507 memory map + frame timing + TIA video/audio.
 //
 // Maps the 13-bit bus to TIA / RIOT / cartridge, implements WSYNC
-// (halt-to-scanline-boundary) and NTSC frame pacing, and streams the TIA
-// audio pair at 2 samples per scanline — enough to EXECUTE real 4K ROMs
-// (Skeleton+ included) and observe their audio/timer behavior.  TIA video
-// reads return open-bus-ish defaults and the beam state is timing-only:
-// rendering the playfield/sprite pipeline is the remaining work for a
-// pixel-accurate core (tracked in COVERAGE.md).
+// (halt-to-scanline-boundary) and NTSC frame pacing, streams the TIA
+// audio pair at 2 samples per scanline, renders playfield/sprites via the
+// functional catch-up renderer (tia_video.h), and latches collision bits
+// and the INPT4/5 fire buttons — enough to RUN, RENDER, and PLAY real 4K
+// ROMs (Skeleton+ included; see skel_env.cc for the RL adapter).
 
 #pragma once
 
@@ -73,6 +71,15 @@ class Machine2600 {
   uint64_t frame() const { return frame_; }
   const std::vector<uint8_t>& audio_left() const { return audio_left_; }
   const std::vector<uint8_t>& audio_right() const { return audio_right_; }
+
+  // Drop the first n samples from both audio streams (consumers track a
+  // cursor; without trimming the buffers grow without bound over training).
+  void consume_audio(size_t n) {
+    n = n > audio_left_.size() ? audio_left_.size() : n;
+    audio_left_.erase(audio_left_.begin(), audio_left_.begin() + n);
+    n = n > audio_right_.size() ? audio_right_.size() : n;
+    audio_right_.erase(audio_right_.begin(), audio_right_.begin() + n);
+  }
   int tia_writes = 0;
   int audio_reg_writes = 0;
   // INPT4/5: joystick fire buttons, active low (true = pressed).

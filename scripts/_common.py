@@ -26,6 +26,7 @@ class BasePPOArgs:
     exp_name: str = field("ppo", "the name of this experiment")
     seed: int = field(1, "seed of the experiment")
     torch_deterministic: bool = field(True, "accepted for CLI compat; no-op on TPU")
+    platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
     cuda: bool = field(True, "accepted for CLI compat; no-op on TPU")
     track: bool = field(False, "mirror metrics to wandb if available")
     wandb_project_name: str = field("minecraft", "the wandb's project name")

@@ -1,11 +1,16 @@
-"""PPO on the Skeleton+ simulator (stereo-audio maze hunt).
+"""PPO on Skeleton+ (stereo-audio maze hunt): simulator or the REAL ROM.
 
 The online-phase trainer for the reference's second multimodal benchmark
 (environments/skeleton_plus/SkelPlus.bin, gameplay per SkelPlus.txt §2):
 streaming stereo footstep audio -> on-device MFCC planes feed the same
 two-tower multimodal agent (audio tower sees both L/R channels).
 
-    python scripts/skeleton_plus_ppo.py --num-envs 8
+    python scripts/skeleton_plus_ppo.py --num-envs 8                 # device sim
+    python scripts/skeleton_plus_ppo.py --backend native             # SkelPlus.bin
+
+``--backend native`` runs the actual cartridge on the in-repo C++ 2600 core
+behind the io_callback bridge (RAM reward adapter in native/atari/skel_env.cc);
+the observation/action contract is identical, so policies transfer.
 """
 
 import dataclasses
@@ -26,11 +31,28 @@ class Args(BasePPOArgs):
     num_envs: int = field(8, "parallel envs")
     clip_rewards: bool = field(False, "shaped rewards stay raw")
     attn_type: str = field("casl", "crossmodal attention type")
+    backend: str = field("sim", "env backend: 'sim' (device) or 'native' (real ROM)")
+    rom_path: str = field(
+        "/root/reference/environments/skeleton_plus/SkelPlus.bin",
+        "cartridge path for --backend native",
+    )
+    frameskip: int = field(8, "emulator frames per env step (native backend)")
+    reward_mode: str = field("shaped", "'shaped' (sim-compatible) or 'kills' (score delta)")
 
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
+    if args.backend == "native":
+        env = make(
+            "skeleton_plus_native",
+            num_envs=args.num_envs,
+            rom_path=args.rom_path,
+            seed=args.seed,
+            frameskip=args.frameskip,
+            reward_mode=args.reward_mode,
+        )
+    else:
+        env = make(args.env_id)
     cfg = ppo_config_from(args)
     model = MultimodalRecurrentAgent(
         num_actions=env.num_actions,
