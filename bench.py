@@ -43,13 +43,17 @@ def main():
     state = create_dt_state(key, cfg, tcfg, batch)
     step = jax.jit(make_dt_train_step(cfg))
     state, m = step(state, batch, key)  # compile
-    jax.block_until_ready(m["dt/loss"])
+    float(m["dt/loss"])  # FETCH: on the remote-tunnel TPU backend,
+    # block_until_ready returns before remote execution completes; only a
+    # value fetch actually waits (measured — see RESULTS.md benchmarking
+    # methodology).  The loss of step N depends on the whole chain of
+    # states, so one final fetch times all N steps.
 
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = step(state, batch, key)
-    jax.block_until_ready(m["dt/loss"])
+    float(m["dt/loss"])
     dt = (time.perf_counter() - t0) / n_iters
     tokens_per_sec = B * 3 * K / dt
 

@@ -294,6 +294,13 @@ def _flash_fwd(q, k, v, block_q, block_k):
 _flash_attention.defvjp(_flash_fwd, _bwd)
 
 
+# Measured crossover on TPU v5e (tools/bench_flash.py, bf16 fwd+bwd,
+# B*H=256, D=128): XLA's fused attention wins below this sequence length
+# (at the flagship DT's S=90 it wins ~10x); the Pallas kernel wins above
+# (S=2048 fwd+bwd: 43.7ms vs 49.7ms).  Numbers recorded in RESULTS.md.
+PALLAS_MIN_SEQ = 1024
+
+
 def causal_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -304,15 +311,27 @@ def causal_flash_attention(
 ) -> jnp.ndarray:
     """Causal multi-head attention, (B, H, S, D) -> (B, H, S, D).
 
-    Uses the Pallas kernel on TPU when S divides evenly into blocks; falls
-    back to the fused-jnp reference otherwise (CPU tests, virtual-device
-    dryruns, tiny sequences where kernel launch overhead dominates).
+    Uses the Pallas kernel on TPU for S >= PALLAS_MIN_SEQ (the measured
+    crossover vs XLA's fused attention); non-divisible S is zero-padded up
+    to the block size — padded KEYS are masked automatically by causality
+    (their ids exceed every real query id) and padded QUERY rows are sliced
+    off, with gradients flowing correctly because the pad/slice live
+    outside the custom VJP.  Falls back to the fused-jnp reference off-TPU
+    and below the crossover.
     """
     s = q.shape[-2]
     on_tpu = jax.default_backend() == "tpu"
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
-    divisible = s % block_q == 0 and s % block_k == 0
-    if force_pallas or (on_tpu and divisible and s >= 256):
-        return _flash_attention(q, k, v, block_q, block_k)
-    return mha_reference(q, k, v)
+    if not (force_pallas or (on_tpu and s >= PALLAS_MIN_SEQ)):
+        return mha_reference(q, k, v)
+    # Round S up to a whole number of blocks (power-of-two block sizes, so
+    # the max of the two is a common multiple).  Blocks are clamped only to
+    # the PADDED length, keeping them MXU-tile aligned for any S.
+    block = max(block_q, block_k)
+    s_pad = -(-s // block) * block
+    block_q = min(block_q, s_pad)
+    block_k = min(block_k, s_pad)
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    out = _flash_attention(q, k, v, block_q, block_k)
+    return out[:, :, :s] if s_pad != s else out

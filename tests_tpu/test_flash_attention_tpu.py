@@ -63,3 +63,27 @@ def test_bf16():
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
     )
     assert float(jnp.abs(o.astype(jnp.float32) - ref).max()) < 0.1
+
+
+def test_padded_non_divisible_seq_fwd_bwd():
+    """S=90 (the flagship DT's 3*K tokens) through the pad-and-mask path."""
+    from mmtrl_tpu.ops.flash_attention import causal_flash_attention
+
+    key = jax.random.PRNGKey(3)
+    shape = (2, 4, 90, 128)
+    q, k, v = (
+        jax.random.normal(k_, shape, jnp.float32) for k_ in jax.random.split(key, 3)
+    )
+    o = causal_flash_attention(q, k, v, force_pallas=True)
+    ref = hp_reference(q, k, v)
+    assert o.shape == shape
+    assert float(jnp.abs(o - ref).max()) < 0.05
+
+    g_fl = jax.grad(
+        lambda *a: (causal_flash_attention(*a, force_pallas=True) ** 2).sum(),
+        (0, 1, 2),
+    )(q, k, v)
+    g_hp = jax.grad(lambda *a: (hp_reference(*a) ** 2).sum(), (0, 1, 2))(q, k, v)
+    for a, b in zip(g_fl, g_hp):
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 0.02, rel

@@ -40,11 +40,14 @@ def bench_env(env_id: str, num_envs: int, iters: int = 50) -> float:
         return keys, state, probe
 
     keys, state, probe = chunk(keys, state)  # compile
-    jax.block_until_ready(probe)
+    float(jnp.sum(probe))  # FETCH: on the remote-tunnel backend,
+    # block_until_ready returns before execution completes; only a value
+    # fetch waits.  probe depends on the chained env state, so the final
+    # fetch times every chunk.
     t0 = time.perf_counter()
     for _ in range(iters):
         keys, state, probe = chunk(keys, state)
-    jax.block_until_ready(probe)
+    float(jnp.sum(probe))
     dt = time.perf_counter() - t0
     return num_envs * 32 * iters / dt
 
