@@ -18,7 +18,7 @@ try:
 except Exception:
     pass
 
-from mmtrl_tpu.core.checkpoint import save_run
+from mmtrl_tpu.core.checkpoint import load_run, save_run
 from mmtrl_tpu.core.distributed import maybe_initialize_distributed
 from mmtrl_tpu.core.metrics import MetricsWriter
 
@@ -31,7 +31,10 @@ def run_offpolicy(
     cfg,
     args,
     run_name: Optional[str] = None,
+    eval_setup: Optional[tuple] = None,
 ) -> dict:
+    """``eval_setup = (env, act_fn, params_getter)`` enables a final greedy
+    evaluation (act_fn(params, obs, key) -> action) after training."""
     run_name = run_name or (
         f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     )
@@ -41,11 +44,20 @@ def run_offpolicy(
 
     journal_run(run_name, _sys.argv, "running")
     runner = init_runner(jax.random.PRNGKey(args.seed))
+    initial_it = 1
+    if getattr(args, "load_from", ""):
+        restored = load_run(args.load_from, target=jax.device_get(runner))
+        runner = jax.tree_util.tree_map(lambda x: x, restored)
+        # global_step lives in the runner state; derive the iteration
+        # counter from it so a resumed run continues instead of restarting.
+        steps_per_it = max(1, cfg.total_timesteps // cfg.num_iterations)
+        initial_it = int(jax.device_get(runner.global_step)) // steps_per_it + 1
+        print(f"resuming at iteration {initial_it}")
     train_iteration = jax.jit(train_iteration)
 
     start = time.time()
     last_return = 0.0
-    for it in range(1, cfg.num_iterations + 1):
+    for it in range(initial_it, cfg.num_iterations + 1):
         runner, metrics = train_iteration(runner)
         global_step = int(jax.device_get(runner.global_step))
         if it % getattr(args, "print_interval", 1) == 0:
@@ -72,10 +84,28 @@ def run_offpolicy(
 
     if getattr(args, "save_interval", 0):
         save_run(runner, run_name, args.save_dir)
-    journal_run(run_name, _sys.argv, "finished")
-    writer.close()
-    return {
+    result = {
         "run_name": run_name,
         "global_step": int(jax.device_get(runner.global_step)),
         "episodic_return": last_return,
     }
+    if eval_setup is not None:
+        from mmtrl_tpu.utils.evaluate import evaluate_actions
+
+        env, act_fn, params_getter = eval_setup
+        ev = jax.jit(
+            lambda p, k: evaluate_actions(env, act_fn, p, k)
+        )(params_getter(runner.train_state), jax.random.PRNGKey(args.seed + 10_000))
+        ev = {k: float(jax.device_get(v)) for k, v in ev.items()}
+        writer.scalar(
+            "eval/episodic_return", ev["eval/episodic_return"],
+            result["global_step"],
+        )
+        print(
+            f"final greedy eval: return={ev['eval/episodic_return']:.2f} "
+            f"over {ev['eval/episodes']:.0f} episodes"
+        )
+        result["eval_episodic_return"] = ev["eval/episodic_return"]
+    journal_run(run_name, _sys.argv, "finished")
+    writer.close()
+    return result

@@ -168,14 +168,20 @@ def make_sac(env: Environment, actor_model, critic_model, cfg: SACConfig):
         warmup = runner.global_step < cfg.learning_starts
         action = jnp.where(warmup, a_random, a_pi)
 
-        next_obs, env_state, reward, done, _ = env.v_step(
+        next_obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, cfg.num_envs), runner.env_state, action
         )
         stats = runner.stats.update(reward, done)
+        # SB3 handle_timeout_termination semantics (the reference's replay
+        # path): bootstrap through time-limit truncation, and store the TRUE
+        # post-transition observation (pre-auto-reset).
+        truncated = info.get("truncated", jnp.zeros_like(done))
+        store_done = (done & ~truncated).astype(jnp.float32)
+        store_next_obs = info.get("final_obs", next_obs)
         buffer = runner.buffer.add_batch(
             dict(
                 obs=runner.obs, action=action, reward=reward,
-                next_obs=next_obs, done=done.astype(jnp.float32),
+                next_obs=store_next_obs, done=store_done,
             ),
             cfg.num_envs,
         )
@@ -185,9 +191,25 @@ def make_sac(env: Environment, actor_model, critic_model, cfg: SACConfig):
             batch = buffer.sample(k_sample, cfg.batch_size)
             state, c_loss, q_mean = update_critics(state, batch, k_next)
             step_idx = global_step // cfg.num_envs
+
+            def delayed_updates(s):
+                # Reference runs policy_frequency actor+alpha passes when the
+                # delayed update fires (sac_continuous_action.py:265-268),
+                # compensating for the update delay; fresh action samples
+                # each pass via a folded key.
+                def one(i, carry):
+                    s, _ = carry
+                    return update_actor_and_alpha(
+                        s, batch, jax.random.fold_in(k_pi, i)
+                    )
+
+                return jax.lax.fori_loop(
+                    0, cfg.policy_frequency, one, (s, jnp.float32(0))
+                )
+
             state, a_loss = jax.lax.cond(
                 step_idx % cfg.policy_frequency == 0,
-                lambda s: update_actor_and_alpha(s, batch, k_pi),
+                delayed_updates,
                 lambda s: (s, jnp.float32(0)),
                 state,
             )

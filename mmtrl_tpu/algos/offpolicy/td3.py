@@ -143,14 +143,20 @@ def make_td3(env: Environment, actor_model, critic_model, cfg: TD3Config):
         warmup = runner.global_step < cfg.learning_starts
         action = jnp.where(warmup, a_random, jnp.clip(a_det + noise, a_low, a_high))
 
-        next_obs, env_state, reward, done, _ = env.v_step(
+        next_obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, cfg.num_envs), runner.env_state, action
         )
         stats = runner.stats.update(reward, done)
+        # SB3 handle_timeout_termination semantics (the reference's replay
+        # path): bootstrap through time-limit truncation, and store the TRUE
+        # post-transition observation (pre-auto-reset).
+        truncated = info.get("truncated", jnp.zeros_like(done))
+        store_done = (done & ~truncated).astype(jnp.float32)
+        store_next_obs = info.get("final_obs", next_obs)
         buffer = runner.buffer.add_batch(
             dict(
                 obs=runner.obs, action=action, reward=reward,
-                next_obs=next_obs, done=done.astype(jnp.float32),
+                next_obs=store_next_obs, done=store_done,
             ),
             cfg.num_envs,
         )

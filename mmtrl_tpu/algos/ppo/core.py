@@ -88,6 +88,13 @@ class PPOConfig:
     def num_updates(self) -> int:
         return self.total_timesteps // self.batch_size
 
+    @property
+    def opt_steps_per_update(self) -> int:
+        """Optimizer steps per train_iteration — the LR anneal quantum and
+        the resume-time update-counter divisor (restored train_state.step //
+        this = updates already done)."""
+        return self.num_minibatches * self.update_epochs
+
 
 @struct.dataclass
 class RunnerState:
@@ -102,7 +109,7 @@ class RunnerState:
 
 def _make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
     if cfg.anneal_lr:
-        steps_per_update = cfg.num_minibatches * cfg.update_epochs
+        steps_per_update = cfg.opt_steps_per_update
 
         def schedule(count):
             frac = 1.0 - (count // steps_per_update) / cfg.num_updates
@@ -226,10 +233,13 @@ def make_ppo(env: Environment, model, cfg: PPOConfig):
         logits, value = model.apply(rs.train_state.params, rs.obs)
         action = categorical_sample(k_act, logits)
         logprob = categorical_log_prob(logits, action)
-        next_obs, env_state, reward, done, _ = env.v_step(
+        next_obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, cfg.num_envs), rs.env_state, action
         )
-        stats = rs.stats.update(reward, done)
+        # Episode stats use the RAW reward when a reward-transforming
+        # wrapper reports one (the reference's RecordEpisodeStatistics sits
+        # UNDER NormalizeReward/ClipReward, src/train.py:52-57).
+        stats = rs.stats.update(info.get("raw_reward", reward), done)
         transition = (rs.obs, action, logprob, _maybe_clip(cfg, reward), rs.done, value)
         rs = rs.replace(
             env_state=env_state, obs=next_obs, done=done, stats=stats, key=key
@@ -338,10 +348,13 @@ def make_recurrent_ppo(env: Environment, model, cfg: PPOConfig):
         logits, value = logits[0], value[0]
         action = categorical_sample(k_act, logits)
         logprob = categorical_log_prob(logits, action)
-        next_obs, env_state, reward, done, _ = env.v_step(
+        next_obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, cfg.num_envs), rs.env_state, action
         )
-        stats = rs.stats.update(reward, done)
+        # Episode stats use the RAW reward when a reward-transforming
+        # wrapper reports one (the reference's RecordEpisodeStatistics sits
+        # UNDER NormalizeReward/ClipReward, src/train.py:52-57).
+        stats = rs.stats.update(info.get("raw_reward", reward), done)
         transition = (rs.obs, action, logprob, _maybe_clip(cfg, reward), rs.done, value)
         rs = rs.replace(
             env_state=env_state,
@@ -454,10 +467,13 @@ def make_continuous_ppo(env: Environment, model, cfg: PPOConfig):
         mean, log_std, value = model.apply(rs.train_state.params, rs.obs)
         action = normal_sample(k_act, mean, log_std)
         logprob = normal_log_prob(mean, log_std, action)
-        next_obs, env_state, reward, done, _ = env.v_step(
+        next_obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, cfg.num_envs), rs.env_state, action
         )
-        stats = rs.stats.update(reward, done)
+        # Episode stats use the RAW reward when a reward-transforming
+        # wrapper reports one (the reference's RecordEpisodeStatistics sits
+        # UNDER NormalizeReward/ClipReward, src/train.py:52-57).
+        stats = rs.stats.update(info.get("raw_reward", reward), done)
         transition = (rs.obs, action, logprob, _maybe_clip(cfg, reward), rs.done, value)
         rs = rs.replace(
             env_state=env_state, obs=next_obs, done=done, stats=stats, key=key

@@ -39,6 +39,21 @@ class PPGConfig(PPOConfig):
     beta_clone: float = 1.0
     num_aux_minibatches: int = 4
 
+    @property
+    def num_updates(self) -> int:
+        """PPG cycles: one train_iteration = n_iteration rollouts."""
+        return max(1, self.total_timesteps // (self.batch_size * self.n_iteration))
+
+    @property
+    def opt_steps_per_update(self) -> int:
+        """Optimizer steps per CYCLE (policy phase + aux phase), so the LR
+        anneal schedule decays over cycles instead of assuming PPO's
+        num_minibatches*update_epochs (which barely anneals for PPG)."""
+        return (
+            self.n_iteration * self.e_policy * self.num_minibatches
+            + self.e_auxiliary * self.num_aux_minibatches
+        )
+
 
 class PPGAgent(nn.Module):
     """IMPALA trunk + actor + detached aux value head + value head."""

@@ -58,10 +58,19 @@ def run_training(
     if getattr(args, "load_from", ""):
         restored = load_run(args.load_from, target=jax.device_get(runner))
         runner = jax.tree_util.tree_map(lambda x: x, restored)
-        initial_update = int(getattr(args, "initial_update", 1))
+        # Resume the update counter from the checkpoint itself: the
+        # optimizer step count divided by optimizer-steps-per-update
+        # (reference restores initial_update from the pickle,
+        # src/utils.py:40-44, train.py:120-123; here it is derived so no
+        # extra flag or payload field is needed).
+        spu = getattr(cfg, "opt_steps_per_update", 0)
+        if spu:
+            opt_step = int(jax.device_get(runner.train_state.step))
+            initial_update = opt_step // spu + 1
+            print(f"resuming at update {initial_update} (opt step {opt_step})")
 
     train_iteration = jax.jit(train_iteration)
-    global_step = 0
+    global_step = (initial_update - 1) * cfg.batch_size
     start = time.time()
     last_return = 0.0
     profiling = getattr(args, "profile", False)

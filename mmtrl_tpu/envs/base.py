@@ -102,6 +102,13 @@ class Environment(abc.ABC):
             obs_rs,
             obs_st,
         )
+        # The TRUE post-transition observation (pre-auto-reset) — gym's
+        # final_observation / the reference's real_next_obs
+        # (cleanrl/dqn.py rb.add real_next_obs): off-policy buffers store
+        # this so truncated episodes bootstrap from the right state.
+        # Unused consumers cost nothing (XLA dead-code-eliminates it).
+        info = dict(info)
+        info["final_obs"] = obs_st
         return obs, state, reward, done, info
 
     # Vectorized entry points (batch dim 0 on state/action/keys).

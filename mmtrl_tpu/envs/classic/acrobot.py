@@ -99,9 +99,10 @@ class Acrobot(Environment):
         )
         new = AcrobotState(joint=ns, t=state.t + 1)
         terminated = -jnp.cos(ns[0]) - jnp.cos(ns[1] + ns[0]) > 1.0
-        done = terminated | (new.t >= self.max_steps)
+        truncated = (new.t >= self.max_steps) & ~terminated
+        done = terminated | truncated
         reward = jnp.where(terminated, 0.0, -1.0).astype(jnp.float32)
-        return self._obs(new), new, reward, done, {}
+        return self._obs(new), new, reward, done, {"truncated": truncated}
 
     @property
     def observation_space(self):

@@ -79,10 +79,12 @@ class CartPole(Environment):
             (jnp.abs(new.x) > self.x_threshold)
             | (jnp.abs(new.theta) > self.theta_threshold)
         )
-        truncated = new.t >= self.max_steps
+        truncated = (new.t >= self.max_steps) & ~terminated
         done = terminated | truncated
         reward = jnp.float32(1.0)
-        return self._obs(new), new, reward, done, {}
+        # "truncated" lets off-policy buffers bootstrap through the time
+        # limit (the reference's SB3 handle_timeout_termination).
+        return self._obs(new), new, reward, done, {"truncated": truncated}
 
     @property
     def observation_space(self):

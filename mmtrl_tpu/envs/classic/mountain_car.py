@@ -56,8 +56,9 @@ class MountainCar(Environment):
         terminated = (position >= self.goal_position) & (
             velocity >= self.goal_velocity
         )
-        done = terminated | (new.t >= self.max_steps)
-        return self._obs(new), new, jnp.float32(-1.0), done, {}
+        truncated = (new.t >= self.max_steps) & ~terminated
+        done = terminated | truncated
+        return self._obs(new), new, jnp.float32(-1.0), done, {"truncated": truncated}
 
     @property
     def observation_space(self):

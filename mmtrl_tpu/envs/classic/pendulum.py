@@ -62,8 +62,8 @@ class Pendulum(Environment):
         new_theta_dot = jnp.clip(new_theta_dot, -self.max_speed, self.max_speed)
         new_theta = state.theta + new_theta_dot * self.dt
         new = PendulumState(theta=new_theta, theta_dot=new_theta_dot, t=state.t + 1)
-        done = new.t >= self.max_steps
-        return self._obs(new), new, (-cost).astype(jnp.float32), done, {}
+        done = new.t >= self.max_steps  # pure time-limit truncation
+        return self._obs(new), new, (-cost).astype(jnp.float32), done, {"truncated": done}
 
     @property
     def observation_space(self):

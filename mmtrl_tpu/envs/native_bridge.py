@@ -140,7 +140,10 @@ class NativeMinecraft2d:
 
     @property
     def observation_space(self):
-        return spaces.Box(0.0, 4.0, (2 if self.use_audio else 1, IMG, IMG))
+        # Rendered observations are normalized to [-1, 1] (frame*2/255-1 and
+        # MFCC planes); report the true bounds so consumers relying on space
+        # limits normalize correctly.
+        return spaces.Box(-1.0, 1.0, (2 if self.use_audio else 1, IMG, IMG))
 
     @property
     def action_space(self):

@@ -124,3 +124,154 @@ class RunningStat:
 
     def normalize(self, x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
         return (x - self.mean) / jnp.sqrt(self.var + eps)
+
+
+@struct.dataclass
+class NormObsState:
+    inner: EnvState
+    rms: RunningStat
+
+
+class ClipAction(Environment):
+    """Clip continuous actions to the action-space bounds (reference:
+    gym.wrappers.ClipAction in cleanrl/ppo_continuous_action.py:90)."""
+
+    def __init__(self, env: Environment):
+        self.env = env
+        self._low = jnp.asarray(env.action_space.low)
+        self._high = jnp.asarray(env.action_space.high)
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+    def step(self, key, state, action):
+        return self.env.step(key, state, jnp.clip(action, self._low, self._high))
+
+    # underscore API delegates so further wrapping keeps working
+    def _reset(self, key):
+        return self.env._reset(key)
+
+    def _step_env(self, key, state, action):
+        return self.env._step_env(
+            key, state, jnp.clip(action, self._low, self._high)
+        )
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def name(self):
+        return self.env.name
+
+
+class NormalizeObservation(Environment):
+    """Running mean/var observation normalization + clip, the reference's
+    gym.wrappers.NormalizeObservation + TransformObservation clip
+    (cleanrl/ppo_continuous_action.py:91-92).
+
+    Statistics persist across episodes, so this wrapper handles auto-reset
+    by delegating to the INNER env's ``step`` (whose tree_select only
+    touches the inner state) — wrap it outermost, and don't reach through
+    ``_step_env`` from above.
+    """
+
+    def __init__(self, env: Environment, clip: float = 10.0):
+        self.env = env
+        self.clip = clip
+
+    def _norm(self, rms: RunningStat, obs: jnp.ndarray) -> jnp.ndarray:
+        return jnp.clip(rms.normalize(obs), -self.clip, self.clip)
+
+    def reset(self, key):
+        obs, inner = self.env.reset(key)
+        rms = RunningStat.create(obs.shape).update(obs[None])
+        return self._norm(rms, obs), NormObsState(inner=inner, rms=rms)
+
+    def step(self, key, state: NormObsState, action):
+        obs, inner, reward, done, info = self.env.step(key, state.inner, action)
+        rms = state.rms.update(obs[None])
+        return (
+            self._norm(rms, obs),
+            NormObsState(inner=inner, rms=rms),
+            reward,
+            done,
+            info,
+        )
+
+    _reset = reset
+    _step_env = step
+
+    @property
+    def observation_space(self):
+        sp = self.env.observation_space
+        return type(sp)(-self.clip, self.clip, sp.shape)
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def name(self):
+        return self.env.name
+
+
+@struct.dataclass
+class NormRewardState:
+    inner: EnvState
+    rms: RunningStat  # variance of the discounted return
+    ret: jnp.ndarray  # () running discounted return
+
+
+class NormalizeReward(Environment):
+    """Scale rewards by the std of the discounted return + clip, the
+    reference's gym.wrappers.NormalizeReward + TransformReward clip
+    (cleanrl/ppo_continuous_action.py:93-94).  Same auto-reset contract as
+    NormalizeObservation: statistics persist across episodes."""
+
+    def __init__(self, env: Environment, gamma: float = 0.99, clip: float = 10.0):
+        self.env = env
+        self.gamma = gamma
+        self.clip = clip
+
+    def reset(self, key):
+        obs, inner = self.env.reset(key)
+        return obs, NormRewardState(
+            inner=inner, rms=RunningStat.create(()), ret=jnp.zeros(())
+        )
+
+    def step(self, key, state: NormRewardState, action):
+        obs, inner, reward, done, info = self.env.step(key, state.inner, action)
+        ret = state.ret * self.gamma + reward
+        rms = state.rms.update(ret[None])
+        ret = jnp.where(done, 0.0, ret)
+        scaled = jnp.clip(
+            reward / jnp.sqrt(rms.var + 1e-8), -self.clip, self.clip
+        )
+        info = dict(info, raw_reward=reward)
+        return (
+            obs,
+            NormRewardState(inner=inner, rms=rms, ret=ret),
+            scaled.astype(jnp.float32),
+            done,
+            info,
+        )
+
+    _reset = reset
+    _step_env = step
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def name(self):
+        return self.env.name

@@ -60,3 +60,42 @@ def evaluate_policy(
         "eval/episodic_length": stats.mean_length,
         "eval/episodes": stats.episode_count,
     }
+
+
+def evaluate_actions(
+    env: Environment,
+    act_fn,
+    params,
+    key: jax.Array,
+    num_envs: int = 16,
+    num_steps: int = 1000,
+) -> Dict[str, jnp.ndarray]:
+    """Greedy evaluation generic over the action rule.
+
+    ``act_fn(params, obs, key) -> action`` covers the whole off-policy zoo
+    (argmax-Q for DQN/C51, deterministic actor for DDPG/TD3, tanh-mean for
+    SAC) — the reference reports training-curve returns only; a final greedy
+    eval removes the epsilon/exploration noise from the reported number.
+    """
+    key, k_reset = jax.random.split(key)
+    obs, env_state = env.v_reset(jax.random.split(k_reset, num_envs))
+    stats = EpisodeStatistics.create(num_envs)
+
+    def step(c, _):
+        obs, env_state, stats, key = c
+        key, k_act, k_step = jax.random.split(key, 3)
+        action = act_fn(params, obs, k_act)
+        obs, env_state, reward, done, _ = env.v_step(
+            jax.random.split(k_step, num_envs), env_state, action
+        )
+        stats = stats.update(reward, done)
+        return (obs, env_state, stats, key), None
+
+    (obs, env_state, stats, key), _ = jax.lax.scan(
+        step, (obs, env_state, stats, key), None, length=num_steps
+    )
+    return {
+        "eval/episodic_return": stats.mean_return,
+        "eval/episodic_length": stats.mean_length,
+        "eval/episodes": stats.episode_count,
+    }

@@ -45,6 +45,8 @@ class Args:
     print_interval: int = field(1, "print stats every so iterations")
     save_interval: int = field(0, "save every n iterations (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    load_from: str = field("", "checkpoint path from which to resume the run")
+    platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
 
 
 def main(args=None):
@@ -70,7 +72,16 @@ def main(args=None):
     )
     model = DistributionalQNetwork(num_actions=env.num_actions, n_atoms=args.n_atoms)
     init_runner, train_iteration = make_c51(env, model, cfg)
-    return run_offpolicy(init_runner, train_iteration, cfg, args)
+    import jax.numpy as jnp
+
+    atoms = jnp.linspace(args.v_min, args.v_max, args.n_atoms)
+
+    def act(p, obs, key):
+        pmf = model.apply(p, obs)  # (B, A, atoms)
+        return jnp.argmax((pmf * atoms).sum(-1), axis=-1)
+
+    eval_setup = (env, act, lambda ts: ts.params)
+    return run_offpolicy(init_runner, train_iteration, cfg, args, eval_setup=eval_setup)
 
 
 if __name__ == "__main__":

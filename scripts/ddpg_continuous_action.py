@@ -41,6 +41,8 @@ class Args:
     print_interval: int = field(1, "print stats every so iterations")
     save_interval: int = field(0, "save every n iterations (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    load_from: str = field("", "checkpoint path from which to resume the run")
+    platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
 
 
 def main(args=None):
@@ -69,7 +71,12 @@ def main(args=None):
     )
     critic = QFunction()
     init_runner, train_iteration = make_ddpg(env, actor, critic, cfg)
-    return run_offpolicy(init_runner, train_iteration, cfg, args)
+    eval_setup = (
+        env,
+        lambda p, obs, key: actor.apply(p, obs),
+        lambda st: st.actor.params,
+    )
+    return run_offpolicy(init_runner, train_iteration, cfg, args, eval_setup=eval_setup)
 
 
 if __name__ == "__main__":

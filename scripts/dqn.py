@@ -46,6 +46,8 @@ class Args:
     print_interval: int = field(1, "print stats every so iterations")
     save_interval: int = field(0, "save every n iterations (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    load_from: str = field("", "checkpoint path from which to resume the run")
+    platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
 
 
 def main(args=None):
@@ -72,7 +74,14 @@ def main(args=None):
     )
     model = QNetwork(num_actions=env.num_actions)
     init_runner, train_iteration = make_dqn(env, model, cfg)
-    return run_offpolicy(init_runner, train_iteration, cfg, args)
+    import jax.numpy as jnp
+
+    eval_setup = (
+        env,
+        lambda p, obs, key: jnp.argmax(model.apply(p, obs), axis=-1),
+        lambda ts: ts.params,
+    )
+    return run_offpolicy(init_runner, train_iteration, cfg, args, eval_setup=eval_setup)
 
 
 if __name__ == "__main__":

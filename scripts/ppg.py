@@ -54,14 +54,14 @@ def main(args=None):
     )
 
     # One PPG cycle consumes n_iteration rollouts; reuse the PPO runner by
-    # scaling num_updates accordingly.
+    # scaling batch_size accordingly (num_updates/opt_steps_per_update come
+    # from PPGConfig's cycle-aware overrides).
     class CycleCfg:
-        num_updates = max(
-            1, args.total_timesteps // (cfg.batch_size * cfg.n_iteration)
-        )
+        num_updates = cfg.num_updates
         batch_size = cfg.batch_size * cfg.n_iteration
         anneal_lr = cfg.anneal_lr
         learning_rate = cfg.learning_rate
+        opt_steps_per_update = cfg.opt_steps_per_update
 
     model = PPGAgent(num_actions=env.num_actions)
     init_runner, ppg_cycle = make_ppg(env, model, cfg)

@@ -28,11 +28,24 @@ class Args(BasePPOArgs):
     ent_coef: float = field(0.0, "entropy coefficient")
     clip_rewards: bool = field(False, "continuous control uses raw rewards")
     rpo_alpha: float = field(0.0, "RPO mean-perturbation radius (0 disables)")
+    clip_action: bool = field(True, "clip actions to the action-space bounds")
+    norm_obs: bool = field(True, "running mean/var observation normalization")
+    norm_reward: bool = field(True, "discounted-return reward normalization")
 
 
 def main(args=None):
     args = args or cli(Args)
     env = make(args.env_id)
+    # The reference's wrapper stack, cleanrl/ppo_continuous_action.py:90-94:
+    # ClipAction -> NormalizeObservation(+clip 10) -> NormalizeReward(+clip 10)
+    from mmtrl_tpu.envs.wrappers import ClipAction, NormalizeObservation, NormalizeReward
+
+    if args.clip_action:
+        env = ClipAction(env)
+    if args.norm_obs:
+        env = NormalizeObservation(env)
+    if args.norm_reward:
+        env = NormalizeReward(env, gamma=args.gamma)
     cfg = ppo_config_from(args, rpo_alpha=args.rpo_alpha)
     model = ContinuousActorCritic(action_dim=env.action_space.shape[0])
     init_runner, train_iteration = make_continuous_ppo(env, model, cfg)

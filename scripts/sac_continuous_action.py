@@ -43,6 +43,8 @@ class Args:
     print_interval: int = field(1, "print stats every so iterations")
     save_interval: int = field(0, "save every n iterations (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    load_from: str = field("", "checkpoint path from which to resume the run")
+    platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
 
 
 def main(args=None):
@@ -74,7 +76,17 @@ def main(args=None):
     )
     critic = QFunction()
     init_runner, train_iteration = make_sac(env, actor, critic, cfg)
-    return run_offpolicy(init_runner, train_iteration, cfg, args)
+    import jax.numpy as jnp
+
+    scale = jnp.asarray((np.asarray(sp.high) - np.asarray(sp.low)) / 2.0)
+    bias = jnp.asarray((np.asarray(sp.high) + np.asarray(sp.low)) / 2.0)
+
+    def act(p, obs, key):
+        mean, _ = actor.apply(p, obs)
+        return jnp.tanh(mean) * scale + bias
+
+    eval_setup = (env, act, lambda st: st.actor.params)
+    return run_offpolicy(init_runner, train_iteration, cfg, args, eval_setup=eval_setup)
 
 
 if __name__ == "__main__":

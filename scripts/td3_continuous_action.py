@@ -50,7 +50,12 @@ def main(args=None):
     )
     critic = QFunction()
     init_runner, train_iteration = make_td3(env, actor, critic, cfg)
-    return run_offpolicy(init_runner, train_iteration, cfg, args)
+    eval_setup = (
+        env,
+        lambda p, obs, key: actor.apply(p, obs),
+        lambda st: st.actor.params,
+    )
+    return run_offpolicy(init_runner, train_iteration, cfg, args, eval_setup=eval_setup)
 
 
 if __name__ == "__main__":
