@@ -40,14 +40,35 @@ def run_training(
     cfg,
     args,
     run_name: Optional[str] = None,
+    video_setup: Optional[tuple] = None,
 ) -> dict:
-    """Drives num_updates iterations; returns final summary dict."""
+    """Drives num_updates iterations; returns final summary dict.
+
+    ``video_setup = (env, step_policy, params_getter, initial_carry)``
+    enables ``--capture-video``: a greedy episode GIF under
+    videos/<run_name>/ at every checkpoint and at the end (the reference's
+    RecordVideo, src/train.py:35,55)."""
     run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     writer = MetricsWriter(run_name, args)
     from mmtrl_tpu.utils.resume import journal_run
     import sys as _sys
 
     journal_run(run_name, _sys.argv, "running")
+
+    def maybe_capture(runner, tag):
+        if video_setup is None or not getattr(args, "capture_video", False):
+            return None
+        from mmtrl_tpu.utils.video import capture_video
+
+        venv, step_policy, params_getter, carry = video_setup
+        path = capture_video(
+            venv, step_policy, params_getter(runner.train_state), run_name,
+            jax.random.PRNGKey(args.seed + 777), tag=tag,
+            initial_carry=carry,
+        )
+        print(f"recorded rollout video: {path}")
+        return path
+
     if getattr(args, "track", False):
         print("wandb tracking requested but wandb is not bundled; "
               "TensorBoard events are written either way")
@@ -112,9 +133,11 @@ def run_training(
 
         if getattr(args, "save_interval", 0) and update % args.save_interval == 0:
             save_run(runner, run_name, args.save_dir)
+            maybe_capture(runner, f"update_{update}")
 
     if getattr(args, "save_interval", 0):
         save_run(runner, run_name, args.save_dir)
+    maybe_capture(runner, "final")
     journal_run(run_name, _sys.argv, "finished")
     writer.close()
     elapsed = time.time() - start

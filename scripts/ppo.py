@@ -30,7 +30,14 @@ def main(args=None):
     cfg = ppo_config_from(args)
     model = MLPActorCritic(num_actions=env.num_actions)
     init_runner, train_iteration = make_ppo(env, model, cfg)
-    return run_training(init_runner, train_iteration, cfg, args)
+    import jax.numpy as jnp
+
+    def video_policy(params, obs, done, carry, key):
+        logits, _ = model.apply(params, obs)
+        return jnp.argmax(logits, axis=-1), carry
+
+    video_setup = (env, video_policy, lambda ts: ts.params, None) if args.capture_video else None
+    return run_training(init_runner, train_iteration, cfg, args, video_setup=video_setup)
 
 
 if __name__ == "__main__":

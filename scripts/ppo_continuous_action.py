@@ -49,7 +49,14 @@ def main(args=None):
     cfg = ppo_config_from(args, rpo_alpha=args.rpo_alpha)
     model = ContinuousActorCritic(action_dim=env.action_space.shape[0])
     init_runner, train_iteration = make_continuous_ppo(env, model, cfg)
-    return run_training(init_runner, train_iteration, cfg, args)
+    import jax.numpy as jnp
+
+    def video_policy(params, obs, done, carry, key):
+        mean, _, _ = model.apply(params, obs)
+        return mean, carry
+
+    video_setup = (env, video_policy, lambda ts: ts.params, None) if args.capture_video else None
+    return run_training(init_runner, train_iteration, cfg, args, video_setup=video_setup)
 
 
 if __name__ == "__main__":

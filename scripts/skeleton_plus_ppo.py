@@ -62,7 +62,17 @@ def main(args=None):
         input_scale=1.0,  # this env has no legacy /255 quirk to preserve
     )
     init_runner, train_iteration = make_recurrent_ppo(env, model, cfg)
-    return run_training(init_runner, train_iteration, cfg, args)
+
+    import jax.numpy as jnp
+
+    def video_policy(params, obs, done, carry, key):
+        logits, _, carry = model.apply(params, obs[None], done[None], carry)
+        return jnp.argmax(logits[0], axis=-1), carry
+
+    video_setup = (
+        env, video_policy, lambda ts: ts.params, model.initial_carry(getattr(env, 'num_envs', 1))
+    ) if args.capture_video else None
+    return run_training(init_runner, train_iteration, cfg, args, video_setup=video_setup)
 
 
 if __name__ == "__main__":
