@@ -70,8 +70,8 @@ def run_training(
         return path
 
     if getattr(args, "track", False):
-        print("wandb tracking requested but wandb is not bundled; "
-              "TensorBoard events are written either way")
+        print(f"tracking to wandb_local/ (zero-egress wandb journal); "
+              f"run: {run_name}")
 
     key = jax.random.PRNGKey(args.seed)
     runner = init_runner(key)

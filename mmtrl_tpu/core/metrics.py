@@ -84,6 +84,19 @@ class MetricsWriter:
         self.run_name = run_name
         self.writer = SummaryWriter(f"{root}/{run_name}")
         self.start_time = time.time()
+        # --track: mirror scalars to the wandb-compatible local journal
+        # (the reference mirrors TB to wandb, src/train.py:75-83; this
+        # environment is zero-egress so the journal is on-disk).
+        self.track_run = None
+        if config is not None and getattr(config, "track", False):
+            import sys
+
+            from mmtrl_tpu.utils import wandb_local
+
+            project = getattr(config, "wandb_project_name", None) or "mmtrl"
+            self.track_run = wandb_local.init(
+                project, run_name, config=config, argv=sys.argv
+            )
         if config is not None:
             import dataclasses
 
@@ -99,6 +112,8 @@ class MetricsWriter:
 
     def scalar(self, tag: str, value: Any, step: int) -> None:
         self.writer.add_scalar(tag, float(value), step)
+        if self.track_run is not None:
+            self.track_run.log({tag: float(value)}, step)
 
     def scalars(self, values: Mapping[str, Any], step: int) -> None:
         for tag, value in values.items():
@@ -122,3 +137,5 @@ class MetricsWriter:
 
     def close(self) -> None:
         self.writer.close()
+        if self.track_run is not None:
+            self.track_run.finish()
