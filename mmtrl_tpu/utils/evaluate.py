@@ -77,6 +77,7 @@ def evaluate_actions(
     SAC) — the reference reports training-curve returns only; a final greedy
     eval removes the epsilon/exploration noise from the reported number.
     """
+    num_envs = getattr(env, "num_envs", num_envs)  # bridges have a fixed pool
     key, k_reset = jax.random.split(key)
     obs, env_state = env.v_reset(jax.random.split(k_reset, num_envs))
     stats = EpisodeStatistics.create(num_envs)
@@ -85,9 +86,10 @@ def evaluate_actions(
         obs, env_state, stats, key = c
         key, k_act, k_step = jax.random.split(key, 3)
         action = act_fn(params, obs, k_act)
-        obs, env_state, reward, done, _ = env.v_step(
+        obs, env_state, reward, done, info = env.v_step(
             jax.random.split(k_step, num_envs), env_state, action
         )
+        reward = info.get("raw_reward", reward)
         stats = stats.update(reward, done)
         return (obs, env_state, stats, key), None
 

@@ -47,7 +47,9 @@ class Args:
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
+    from mmtrl_tpu.envs.gym_bridge import make_any
+
+    env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
     cfg = DDPGConfig(
         total_timesteps=args.total_timesteps,
         learning_rate=args.learning_rate,

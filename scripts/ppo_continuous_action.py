@@ -35,17 +35,29 @@ class Args(BasePPOArgs):
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
-    # The reference's wrapper stack, cleanrl/ppo_continuous_action.py:90-94:
-    # ClipAction -> NormalizeObservation(+clip 10) -> NormalizeReward(+clip 10)
-    from mmtrl_tpu.envs.wrappers import ClipAction, NormalizeObservation, NormalizeReward
+    # Pure-JAX envs come from the registry; MuJoCo-class gymnasium ids
+    # (HalfCheetah-v5, Hopper-v5, ...) go through the host bridge, which
+    # applies the reference's literal gym wrapper stack per sub-env.
+    from mmtrl_tpu.envs.gym_bridge import make_any
 
-    if args.clip_action:
-        env = ClipAction(env)
-    if args.norm_obs:
-        env = NormalizeObservation(env)
-    if args.norm_reward:
-        env = NormalizeReward(env, gamma=args.gamma)
+    env, is_bridge = make_any(
+        args.env_id, num_envs=args.num_envs, seed=args.seed,
+        wrap="ppo_continuous" if (args.norm_obs or args.norm_reward) else "none",
+        gamma=args.gamma,
+    )
+    if not is_bridge:
+        # Device-resident path: the functional wrapper stack
+        # (cleanrl/ppo_continuous_action.py:90-94 equivalents).
+        from mmtrl_tpu.envs.wrappers import (
+            ClipAction, NormalizeObservation, NormalizeReward,
+        )
+
+        if args.clip_action:
+            env = ClipAction(env)
+        if args.norm_obs:
+            env = NormalizeObservation(env)
+        if args.norm_reward:
+            env = NormalizeReward(env, gamma=args.gamma)
     cfg = ppo_config_from(args, rpo_alpha=args.rpo_alpha)
     model = ContinuousActorCritic(action_dim=env.action_space.shape[0])
     init_runner, train_iteration = make_continuous_ppo(env, model, cfg)

@@ -49,7 +49,9 @@ class Args:
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
+    from mmtrl_tpu.envs.gym_bridge import make_any
+
+    env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
     cfg = SACConfig(
         total_timesteps=args.total_timesteps,
         q_lr=args.q_lr,
