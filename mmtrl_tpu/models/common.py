@@ -11,7 +11,7 @@ append the trailing channel axis themselves.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -33,9 +33,14 @@ class AtariTower(nn.Module):
     """
 
     size: str = "big"  # 'big' | 'small'
+    features: Optional[int] = None  # override the output width (the google
+    # variant uses the big conv trunk with a 256-d projection,
+    # src/minecraft_lstm_google.py:36-59)
 
     @property
     def feature_size(self) -> int:
+        if self.features is not None:
+            return self.features
         return 512 if self.size == "big" else 256
 
     @nn.compact

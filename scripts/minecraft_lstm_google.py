@@ -1,8 +1,16 @@
 """Google-variant multimodal PPO-LSTM — the reference's
-src/minecraft_lstm_google.py: 256-d ('small') towers, concat fusion, MLP
-heads (actor: Tanh(32), critic: Tanh(128)) and a --policy-offset argument
-that mixes the policy toward uniform to boost exploration (reference
-:35,67-77).
+src/minecraft_lstm_google.py: full Nature conv trunks with 256-d
+projections (:36-59, NOT conv_factory's 'small' towers), concat fusion
+into LSTM(512->128), and distinct MLP heads with std=1 hidden inits
+(actor: Tanh(32) :67-71, critic: Tanh(128) :73-77).
+
+--policy-offset: the reference PARSES and STORES this flag
+(minecraft_lstm_google.py:35) but never wires it into the forward pass —
+dead code upstream.  Here the documented intent is implemented: when >0
+the action distribution is mixed toward uniform,
+p' = (1-o)*softmax(logits) + o/A.  Pass --policy-offset 0 for exact
+reference behavior (shape-parity is tested either way,
+tests/test_google_agent.py).
 
     python scripts/minecraft_lstm_google.py --policy-offset 0.5
 """
@@ -37,10 +45,12 @@ class GoogleAgent(nn.Module):
     def __call__(self, obs, done, carry) -> Tuple[jnp.ndarray, jnp.ndarray, Carry]:
         T, B = obs.shape[:2]
         flat = obs.reshape((T * B,) + obs.shape[2:]) / self.input_scale
-        video = AtariTower("small", name="video_net")(
+        # Reference towers are the BIG Nature conv trunk projected to 256
+        # (minecraft_lstm_google.py:36-59), not conv_factory's 'small'.
+        video = AtariTower("big", features=256, name="video_net")(
             _nchw_to_nhwc(flat[:, 0:1])
         ).reshape(T, B, -1)
-        audio = AtariTower("small", name="audio_net")(
+        audio = AtariTower("big", features=256, name="audio_net")(
             _nchw_to_nhwc(flat[:, 1:])
         ).reshape(T, B, -1)
         core = nn.scan(
@@ -52,7 +62,9 @@ class GoogleAgent(nn.Module):
         )(None, "concat", self.lstm_features, name="core")
         carry, hidden = core(carry, (video, audio, done))
 
-        a = nn.tanh(nn.Dense(32, kernel_init=ortho(), bias_init=ZEROS)(hidden))
+        # Hidden layers use std=1 orthogonal init (reference :68,74), not
+        # the sqrt(2) default.
+        a = nn.tanh(nn.Dense(32, kernel_init=ortho(1.0), bias_init=ZEROS)(hidden))
         logits = nn.Dense(
             self.num_actions, kernel_init=ortho(0.01), bias_init=ZEROS, name="actor"
         )(a)
@@ -62,7 +74,7 @@ class GoogleAgent(nn.Module):
                 self.policy_offset / self.num_actions
             )
             logits = jnp.log(probs)
-        c = nn.tanh(nn.Dense(128, kernel_init=ortho(), bias_init=ZEROS)(hidden))
+        c = nn.tanh(nn.Dense(128, kernel_init=ortho(1.0), bias_init=ZEROS)(hidden))
         value = nn.Dense(1, kernel_init=ortho(1.0), bias_init=ZEROS, name="critic")(
             c
         )[..., 0]
