@@ -41,7 +41,9 @@ def main():
     batch = (rtg, states, actions, timesteps, mask)
 
     state = create_dt_state(key, cfg, tcfg, batch)
-    step = jax.jit(make_dt_train_step(cfg))
+    # Donating the train state lets XLA update params/opt-state in place
+    # instead of allocating a fresh copy every step (saves HBM traffic).
+    step = jax.jit(make_dt_train_step(cfg), donate_argnums=(0,))
     state, m = step(state, batch, key)  # compile
     float(m["dt/loss"])  # FETCH: on the remote-tunnel TPU backend,
     # block_until_ready returns before remote execution completes; only a

@@ -36,6 +36,9 @@ class AtariTower(nn.Module):
     features: Optional[int] = None  # override the output width (the google
     # variant uses the big conv trunk with a 256-d projection,
     # src/minecraft_lstm_google.py:36-59)
+    dtype: Optional[jnp.dtype] = None  # compute dtype; None = flax promotion
+    # (f32 with f32 params).  The DT passes bfloat16 so convs/matmuls run at
+    # the MXU's native rate; params stay f32 either way.
 
     @property
     def feature_size(self) -> int:
@@ -54,11 +57,14 @@ class AtariTower(nn.Module):
         for w, k, s in zip(widths, kernels, strides):
             x = nn.Conv(
                 w, (k, k), strides=(s, s), padding="VALID",
-                kernel_init=ortho(), bias_init=ZEROS,
+                kernel_init=ortho(), bias_init=ZEROS, dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(self.feature_size, kernel_init=ortho(), bias_init=ZEROS)(x)
+        x = nn.Dense(
+            self.feature_size, kernel_init=ortho(), bias_init=ZEROS,
+            dtype=self.dtype,
+        )(x)
         return nn.relu(x)
 
 

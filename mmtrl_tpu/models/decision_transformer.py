@@ -69,11 +69,14 @@ class MultimodalStateEncoder(nn.Module):
     def __call__(self, states: jnp.ndarray) -> jnp.ndarray:
         x = states.astype(self.dtype)
         # channel 0 = video; remaining channels = audio planes (1 for
-        # Minecraft2d MFCC, 2 for Skeleton+ stereo L/R).
-        video = AtariTower(self.conv_type, name="video_net")(
+        # Minecraft2d MFCC, 2 for Skeleton+ stereo L/R).  dtype is passed
+        # explicitly — flax otherwise promotes bf16 activations back to the
+        # f32 param dtype, silently running every matmul off the MXU's
+        # native bf16 rate.
+        video = AtariTower(self.conv_type, dtype=self.dtype, name="video_net")(
             jnp.moveaxis(x[:, 0:1], 1, -1)
         )
-        audio = AtariTower(self.conv_type, name="audio_net")(
+        audio = AtariTower(self.conv_type, dtype=self.dtype, name="audio_net")(
             jnp.moveaxis(x[:, 1:], 1, -1)
         )
         if self.fusion_type == "sum":
@@ -81,7 +84,8 @@ class MultimodalStateEncoder(nn.Module):
         else:
             fused = jnp.concatenate([video, audio], axis=-1)
         return nn.Dense(
-            self.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="proj"
+            self.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
+            dtype=self.dtype, name="proj",
         )(fused)
 
 
@@ -94,12 +98,18 @@ class CausalSelfAttention(nn.Module):
         B, S, D = x.shape
         H = cfg.n_heads
         hd = D // H
-        qkv = nn.Dense(3 * D, kernel_init=ortho(1.0), bias_init=ZEROS, name="qkv")(x)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        qkv = nn.Dense(
+            3 * D, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype,
+            name="qkv",
+        )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)  # noqa: E731
         o = causal_flash_attention(split(q), split(k), split(v))
         o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
-        o = nn.Dense(D, kernel_init=ortho(1.0), bias_init=ZEROS, name="out")(o)
+        o = nn.Dense(
+            D, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype, name="out"
+        )(o)
         return nn.Dropout(cfg.dropout)(o, deterministic=deterministic)
 
 
@@ -115,11 +125,12 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
         h = nn.Dense(
             cfg.mlp_ratio * cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
-            name="fc",
+            dtype=dtype, name="fc",
         )(h)
         h = nn.gelu(h)
         h = nn.Dense(
-            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="proj"
+            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype,
+            name="proj",
         )(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         return x + h
@@ -152,11 +163,12 @@ class DecisionTransformer(nn.Module):
         else:
             state_emb = nn.Dense(
                 cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
-                name="state_encoder",
+                dtype=dtype, name="state_encoder",
             )(states.astype(dtype))
 
         rtg_emb = nn.Dense(
-            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, name="rtg_emb"
+            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype,
+            name="rtg_emb",
         )(rtg[..., None].astype(dtype))
         act_emb = nn.Embed(
             cfg.num_actions, cfg.d_model,
@@ -181,6 +193,6 @@ class DecisionTransformer(nn.Module):
         state_tokens = x[:, 1::3]  # outputs at state positions
         logits = nn.Dense(
             cfg.num_actions, kernel_init=ortho(0.01), bias_init=ZEROS,
-            name="action_head",
+            dtype=dtype, name="action_head",
         )(state_tokens.astype(dtype))
         return logits.astype(jnp.float32)

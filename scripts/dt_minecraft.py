@@ -137,7 +137,7 @@ def main(args=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"DT params: {n_params/1e6:.1f}M")
 
-    train_step = jax.jit(make_dt_train_step(model_cfg))
+    train_step = jax.jit(make_dt_train_step(model_cfg), donate_argnums=(0,))
     # NB: the buffer must be an ARGUMENT, not a closure — closed-over device
     # arrays are baked into the HLO as constants (gigabytes of literal).
     sample = jax.jit(
