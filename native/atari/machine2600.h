@@ -4,8 +4,9 @@
 // (halt-to-scanline-boundary) and NTSC frame pacing, streams the TIA
 // audio pair at 2 samples per scanline, renders playfield/sprites via the
 // functional catch-up renderer (tia_video.h), and latches collision bits
-// and the INPT4/5 fire buttons — enough to RUN, RENDER, and PLAY real 4K
-// ROMs (Skeleton+ included; see skel_env.cc for the RL adapter).
+// and the INPT4/5 fire buttons — enough to RUN, RENDER, and PLAY real
+// 2K/4K ROMs (Skeleton+ included; see skel_env.cc for the RL adapter) plus
+// 8K (F8) and 16K (F6) hotspot bank-switched cartridges.
 
 #pragma once
 
@@ -29,7 +30,19 @@ class Machine2600 {
       : cpu_(Bus{[this](uint16_t a) { return bus_read(a); },
                  [this](uint16_t a, uint8_t v) { bus_write(a, v); }}) {
     rom_.assign(rom, rom + size);
-    rom_mask_ = size - 1;  // 2K/4K powers of two
+    // 2K/4K images map flat; 8K/16K use the standard Atari hotspot
+    // bank-switching schemes (F8: $1FF8/$1FF9; F6: $1FF6-$1FF9).  Power-up
+    // selects the LAST bank — carts keep their vectors there.
+    if (size == 8192) {
+      scheme_ = Scheme::kF8;
+      bank_ = 1;
+    } else if (size == 16384) {
+      scheme_ = Scheme::kF6;
+      bank_ = 3;
+    } else {
+      scheme_ = Scheme::kFlat;
+      rom_mask_ = size - 1;  // 2K/4K powers of two
+    }
     cpu_.reset();
   }
 
@@ -86,9 +99,26 @@ class Machine2600 {
   bool fire[2] = {false, false};
 
  private:
+  // Hotspot bank switching triggers on ANY cartridge-space access (read,
+  // write, even dummy cycles on real hardware — reads/writes suffice for
+  // the supported schemes).
+  void check_bankswitch(uint16_t addr) {
+    uint16_t a = addr & 0xFFF;
+    if (scheme_ == Scheme::kF8) {
+      if (a == 0xFF8) bank_ = 0;
+      else if (a == 0xFF9) bank_ = 1;
+    } else if (scheme_ == Scheme::kF6) {
+      if (a >= 0xFF6 && a <= 0xFF9) bank_ = a - 0xFF6;
+    }
+  }
+
   uint8_t bus_read(uint16_t addr) {
     addr &= 0x1FFF;  // 6507: 13 address lines
-    if (addr & 0x1000) return rom_[addr & rom_mask_];
+    if (addr & 0x1000) {
+      check_bankswitch(addr);
+      if (scheme_ == Scheme::kFlat) return rom_[addr & rom_mask_];
+      return rom_[(size_t)bank_ * 0x1000 + (addr & 0xFFF)];
+    }
     if ((addr & 0x0280) == 0x0080) return riot_.ram[addr & 0x7F];
     if ((addr & 0x0280) == 0x0280) {  // RIOT I/O + timer
       switch (addr & 0x07) {
@@ -112,7 +142,10 @@ class Machine2600 {
 
   void bus_write(uint16_t addr, uint8_t value) {
     addr &= 0x1FFF;
-    if (addr & 0x1000) return;  // ROM
+    if (addr & 0x1000) {  // ROM: writes ignored, but hotspots still switch
+      check_bankswitch(addr);
+      return;
+    }
     if ((addr & 0x0280) == 0x0080) {
       riot_.ram[addr & 0x7F] = value;
       return;
@@ -141,6 +174,9 @@ class Machine2600 {
   TiaAudio audio_;
   TiaVideo video_;
   std::vector<uint8_t> rom_;
+  enum class Scheme { kFlat, kF8, kF6 };
+  Scheme scheme_ = Scheme::kFlat;
+  int bank_ = 0;
   size_t rom_mask_ = 0xFFF;
   bool halted_ = false;
   int scanline_cycle_ = 0;

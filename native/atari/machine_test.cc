@@ -132,8 +132,52 @@ static int test_player_sprite_and_collision() {
   return 0;
 }
 
+// Hotspot bank switching: an F8 (8K) image powers up in the LAST bank,
+// reads its hotspot, and continues executing in the newly selected bank
+// mid-stream (the classic cross-bank control transfer).
+static int test_f8_bankswitch() {
+  std::vector<uint8_t> rom(8192, 0xEA);
+  // Bank 1 (power-up, image offset 0x1000) at $F000:
+  //   LDA $FFF8   ; hotspot -> bank 0; next fetch ($F003) comes from bank 0
+  rom[0x1000] = 0xAD; rom[0x1001] = 0xF8; rom[0x1002] = 0xFF;
+  // Bank 0 at $F003: LDA #$42; STA $80; loop: STA WSYNC; JMP loop
+  rom[0x0003] = 0xA9; rom[0x0004] = 0x42;
+  rom[0x0005] = 0x85; rom[0x0006] = 0x80;
+  rom[0x0007] = 0x85; rom[0x0008] = 0x02;
+  rom[0x0009] = 0x4C; rom[0x000A] = 0x07; rom[0x000B] = 0xF0;
+  // Reset vectors -> $F000 in both banks.
+  rom[0x0FFC] = 0x00; rom[0x0FFD] = 0xF0;
+  rom[0x1FFC] = 0x00; rom[0x1FFD] = 0xF0;
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(1);
+  CHECK(m.riot().ram[0] == 0x42);
+  return 0;
+}
+
+// F6 (16K): four banks, hotspots $1FF6-$1FF9; power-up in bank 3.
+static int test_f6_bankswitch() {
+  std::vector<uint8_t> rom(16384, 0xEA);
+  // Bank 3 (offset 0x3000) at $F000: LDA $FFF7 -> bank 1
+  rom[0x3000] = 0xAD; rom[0x3001] = 0xF7; rom[0x3002] = 0xFF;
+  // Bank 1 (offset 0x1000) at $F003: LDA #$77; STA $81; loop
+  rom[0x1003] = 0xA9; rom[0x1004] = 0x77;
+  rom[0x1005] = 0x85; rom[0x1006] = 0x81;
+  rom[0x1007] = 0x85; rom[0x1008] = 0x02;
+  rom[0x1009] = 0x4C; rom[0x100A] = 0x07; rom[0x100B] = 0xF0;
+  for (int b = 0; b < 4; ++b) {
+    rom[b * 0x1000 + 0xFFC] = 0x00;
+    rom[b * 0x1000 + 0xFFD] = 0xF0;
+  }
+  Machine2600 m(rom.data(), rom.size());
+  m.run_frames(1);
+  CHECK(m.riot().ram[1] == 0x77);
+  return 0;
+}
+
 int main() {
   int failures = 0;
+  failures += test_f8_bankswitch();
+  failures += test_f6_bankswitch();
   failures += test_playfield_render();
   failures += test_player_sprite_and_collision();
   failures += test_audio_program();
