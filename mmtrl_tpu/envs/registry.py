@@ -57,3 +57,9 @@ def _populate() -> None:
     # Runs the REAL SkelPlus.bin on the native 2600 core; requires
     # num_envs (and optionally rom_path/frameskip/...) kwargs.
     register("skeleton_plus_native")(NativeSkeletonPlus)
+
+    from mmtrl_tpu.envs.procmaze import ProcMaze
+
+    # Procgen-contract procedural distribution (num_levels/start_level
+    # select the train window; see envs/procmaze.py).
+    register("procmaze", "ProcMaze")(ProcMaze)

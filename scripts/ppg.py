@@ -1,7 +1,10 @@
-"""Phasic Policy Gradient — the reference's cleanrl/ppg_procgen.py on the
-device-resident envs (Procgen's C++ engine is host-bound; the IMPALA CNN
-agent and the PPG phase structure are identical).
+"""Phasic Policy Gradient — the reference's cleanrl/ppg_procgen.py.  The
+IMPALA CNN agent and the PPG phase structure are identical; the benchmark
+env is ``procmaze``, a device-resident procgen-contract procedural level
+distribution (envs/procmaze.py) with the reference's ``--num-levels`` /
+``--start-level`` split flags (ppg_procgen.py:73-76).
 
+    python scripts/ppg.py --env-id procmaze --num-levels 200
     python scripts/ppg.py --env-id minecraft --n-iteration 4
 """
 
@@ -27,11 +30,17 @@ class Args(BasePPOArgs):
     beta_clone: float = field(1.0, "KL clone coefficient")
     num_aux_minibatches: int = field(4, "aux-phase minibatches")
     clip_rewards: bool = field(False, "PPG uses raw rewards")
+    num_levels: int = field(200, "procgen-style train-level count (procmaze)")
+    start_level: int = field(0, "procgen-style first train level (procmaze)")
 
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
+    if args.env_id.lower() == "procmaze":
+        env = make(args.env_id, num_levels=args.num_levels,
+                   start_level=args.start_level)
+    else:
+        env = make(args.env_id)
     cfg = PPGConfig(
         total_timesteps=args.total_timesteps,
         learning_rate=args.learning_rate,

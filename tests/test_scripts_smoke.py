@@ -130,6 +130,17 @@ def test_ppg():
     )
 
 
+def test_ppg_procmaze():
+    """PPG on the procgen-contract env (IMPALA tower on image obs)."""
+    run_main(
+        "ppg",
+        ["--env-id", "procmaze", "--num-levels", "4", "--total-timesteps",
+         "128", "--num-envs", "2", "--num-steps", "16", "--n-iteration", "2",
+         "--num-minibatches", "2", "--num-aux-minibatches", "2",
+         "--e-auxiliary", "1", "--print-interval", "10"],
+    )
+
+
 def test_ppo_rnd():
     run_main(
         "ppo_rnd",

@@ -24,3 +24,8 @@ run ddpg_hc_s1 scripts/ddpg_continuous_action.py --platform cpu --env-id HalfChe
 run ppo_hc_s3 scripts/ppo_continuous_action.py --platform cpu --env-id HalfCheetah-v4 \
   --num-envs 1 --total-timesteps 1000000 --seed 3 --print-interval 20
 echo "ALL DONE"
+run ppo_hopper_s1 scripts/ppo_continuous_action.py --platform cpu --env-id Hopper-v4 \
+  --num-envs 1 --total-timesteps 1000000 --seed 1 --print-interval 20
+run ppo_walker_s1 scripts/ppo_continuous_action.py --platform cpu --env-id Walker2d-v4 \
+  --num-envs 1 --total-timesteps 1000000 --seed 1 --print-interval 20
+echo "EXTENDED QUEUE DONE"
