@@ -48,3 +48,48 @@ def shard_dt_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, dt_param_sharding(mesh, params)
     )
+
+
+# ---- FSDP (ZeRO-3 style) ---------------------------------------------------
+#
+# Parameters shard over the DATA axis (each chip holds 1/N of every large
+# tensor); XLA's sharding propagation inserts the per-layer all-gather before
+# use and the reduce-scatter on gradients — the FSDP schedule without any
+# manual collectives.  Worth it when params+optimizer don't fit replicated;
+# at MMTRL sizes it's validated headroom (tests/test_parallel.py).
+
+
+def _fsdp_spec(leaf: Any, axis_size: int, axis: str, min_size: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    if not shape or leaf.size < min_size:
+        return P()  # small tensors: replication is cheaper than gathering
+    # Shard the largest dimension divisible by the axis size.
+    dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in dims:
+        if shape[d] % axis_size == 0:
+            spec = [None] * len(shape)
+            spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def fsdp_param_sharding(
+    mesh: Mesh,
+    params,
+    axis: str = "data",
+    min_size: int = 2**14,
+) -> Any:
+    """NamedSharding PyTree sharding every large leaf over ``axis``."""
+    axis_size = mesh.shape[axis]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _fsdp_spec(leaf, axis_size, axis, min_size)),
+        params,
+    )
+
+
+def shard_fsdp_params(mesh: Mesh, params, axis: str = "data"):
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s),
+        params,
+        fsdp_param_sharding(mesh, params, axis=axis),
+    )

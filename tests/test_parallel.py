@@ -103,3 +103,55 @@ def test_tensor_parallel_dt_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out_ref), np.asarray(out_tp), atol=2e-5, rtol=2e-5
     )
+
+
+def test_fsdp_dt_matches_replicated():
+    """FSDP-sharded (ZeRO-3) DT training step must equal the replicated one:
+    params shard over the data axis, XLA inserts per-layer all-gathers and
+    gradient reduce-scatters."""
+    from mmtrl_tpu.algos.dt import DTTrainConfig, create_dt_state, make_dt_train_step
+    from mmtrl_tpu.models.decision_transformer import DTConfig
+    from mmtrl_tpu.parallel.sharding import fsdp_param_sharding
+
+    cfg = DTConfig(
+        num_actions=4, context_len=4, d_model=64, n_layers=2, n_heads=2,
+        dropout=0.0, max_timestep=16, state_kind="vector", state_dim=8,
+        compute_dtype="float32",
+    )
+    key = jax.random.PRNGKey(0)
+    B, K = 8, 4
+    rtg = jax.random.uniform(key, (B, K))
+    states = jax.random.normal(key, (B, K, 8))
+    actions = jnp.zeros((B, K), jnp.int32)
+    ts = jnp.tile(jnp.arange(K), (B, 1))
+    mask = jnp.ones((B, K), bool)
+    batch = (rtg, states, actions, ts, mask)
+    state = create_dt_state(key, cfg, DTTrainConfig(batch_size=B), batch)
+    step = make_dt_train_step(cfg)
+
+    s_ref, m_ref = jax.jit(step)(state, batch, key)
+
+    mesh = make_mesh(axis_names=(DATA_AXIS,))
+    # min_size=1: at test sizes every shardable tensor shards, which is the
+    # interesting path.
+    shardings = fsdp_param_sharding(mesh, state.params, min_size=1)
+    sharded_params = jax.tree_util.tree_map(
+        jax.device_put, state.params, shardings
+    )
+    # At least one leaf must actually shard over 'data'.
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: str(s.spec), shardings)
+    )
+    assert any("data" in s for s in specs), specs
+    state_f = state.replace(params=sharded_params)
+    batch_f = shard_batch(mesh, batch)
+    with mesh:
+        s_fsdp, m_fsdp = jax.jit(step)(state_f, batch_f, key)
+    np.testing.assert_allclose(
+        float(m_ref["dt/loss"]), float(m_fsdp["dt/loss"]), atol=2e-5, rtol=2e-5
+    )
+    # Updated params stay numerically identical to the replicated run.
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_ref.params, s_fsdp.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
