@@ -168,13 +168,21 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
         metrics = jax.tree_util.tree_map(lambda m: m[-1, -1], metrics)
         return rs, (obs, returns), metrics
 
-    def aux_phase(rs: RunnerState, aux_obs, aux_returns, old_logits):
-        """aux_obs: (n_iteration*T*N, ...) flattened storage."""
+    def aux_phase(rs: RunnerState, aux_obs, aux_returns, old_logits, obs_shape):
+        """aux_obs: (n_iteration*T*N, prod(obs_shape)) FLAT storage.
+
+        Flat storage matters on TPU: a (..., C, 84, 84) minor layout tiles to
+        ~1.6x its logical HBM size, and gather-shuffling the whole buffer per
+        epoch doubles it again.  Instead the buffer stays flat and fixed;
+        each minibatch gathers only its own rows by shuffled indices.
+        """
         total = aux_obs.shape[0]
         mb = total // cfg.num_aux_minibatches
 
-        def loss_fn(params, batch):
-            b_obs, b_ret, b_old_logits = batch
+        def loss_fn(params, idx):
+            b_obs = aux_obs[idx].reshape((mb,) + obs_shape)
+            b_ret = aux_returns[idx]
+            b_old_logits = old_logits[idx]
             logits, value, aux_value = model.apply(params, b_obs)
             aux_loss = 0.5 * ((aux_value - b_ret) ** 2).mean()
             real_loss = 0.5 * ((value - b_ret) ** 2).mean()
@@ -183,23 +191,19 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
             kl = (jnp.exp(old_logp) * (old_logp - new_logp)).sum(-1).mean()
             return real_loss + aux_loss + cfg.beta_clone * kl, (aux_loss, kl)
 
-        def minibatch_step(ts, batch):
+        def minibatch_step(ts, idx):
             (_, (aux_loss, kl)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(ts.params, batch)
+            )(ts.params, idx)
             return ts.apply_gradients(grads=grads), (aux_loss, kl)
 
         def epoch_step(carry, _):
             ts, key = carry
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, total)
-            shuffled = jax.tree_util.tree_map(
-                lambda x: x[perm].reshape(
-                    (cfg.num_aux_minibatches, mb) + x.shape[1:]
-                ),
-                (aux_obs, aux_returns, old_logits),
+            perm = jax.random.permutation(k_perm, total).reshape(
+                (cfg.num_aux_minibatches, mb)
             )
-            ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
+            ts, metrics = jax.lax.scan(minibatch_step, ts, perm)
             return (ts, key), metrics
 
         (ts, key), (aux_losses, kls) = jax.lax.scan(
@@ -213,17 +217,36 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
     def ppg_cycle(rs: RunnerState):
         def policy_iter(rs, _):
             rs, (obs, returns), metrics = policy_update(rs)
-            return rs, (obs, returns, metrics)
+            # Aux storage: bf16 (halves HBM; the aux MSE/KL tolerates it) and
+            # FLAT trailing dim (a (..., C, 84, 84) minor layout tiles to
+            # ~1.6x its logical size on TPU; a flat minor dim stays dense).
+            flat = obs.astype(jnp.bfloat16).reshape(obs.shape[:2] + (-1,))
+            return rs, (flat, returns, metrics)
 
         rs, (all_obs, all_returns, metrics) = jax.lax.scan(
             policy_iter, rs, None, length=cfg.n_iteration
         )
-        # Flatten storage (n_iteration, T, N, ...) -> (n_it*T*N, ...)
-        aux_obs = all_obs.reshape((-1,) + all_obs.shape[3:])
+        obs_shape = env.observation_space.shape
+        # Flatten storage (n_iteration, T, N, F) -> (n_it*T*N, F)
+        aux_obs = all_obs.reshape((-1, all_obs.shape[-1]))
         aux_returns = all_returns.reshape(-1)
-        old_logits, _, _ = model.apply(rs.train_state.params, aux_obs)
+        # Old-policy logits CHUNKED through lax.map: a single apply over the
+        # whole aux buffer materializes (n_it*T*N, 84, 84, C) conv
+        # activations (59 GB at procmaze defaults — OOM on one v5e).
+        chunked = aux_obs.reshape(
+            (cfg.num_aux_minibatches, -1) + aux_obs.shape[1:]
+        )
+        old_logits = jax.lax.map(
+            lambda o: model.apply(
+                rs.train_state.params, o.reshape((o.shape[0],) + obs_shape)
+            )[0],
+            chunked,
+        )
+        old_logits = old_logits.reshape((-1,) + old_logits.shape[2:])
         old_logits = jax.lax.stop_gradient(old_logits)
-        rs, aux_metrics = aux_phase(rs, aux_obs, aux_returns, old_logits)
+        rs, aux_metrics = aux_phase(
+            rs, aux_obs, aux_returns, old_logits, obs_shape
+        )
         metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         metrics.update(aux_metrics)
         return rs, metrics
