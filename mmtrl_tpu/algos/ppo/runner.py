@@ -147,6 +147,9 @@ def run_training(
         "sps": global_step / max(elapsed, 1e-9),
         "episodic_return": last_return,
         "episode_count": int(jax.device_get(runner.stats.episode_count)),
+        # Final runner state (device PyTree) so callers can run post-training
+        # evals (e.g. ppg.py's procmaze train/test generalization split).
+        "runner": runner,
     }
 
 

@@ -47,6 +47,67 @@ def _RawRewardRecorder(env):
     return _raw_recorder_cls()(env)
 
 
+def _dm_control_env(env_id: str, seed: int = 0):
+    """Minimal dm_control→gymnasium shim (shimmy isn't installed here).
+
+    The reference's RPO benchmark runs the dm_control suite through shimmy's
+    DmControlCompatibility + FlattenObservation (cleanrl/rpo_continuous_action.py
+    docs, rpo.md:116+).  ``env_id`` format: ``dm_control/<domain>-<task>``
+    (e.g. dm_control/ball_in_cup-catch).  Observations flatten to a vector;
+    dm_control's 1000-step episode end is a time-limit truncation
+    (discount==1 at last()), matching gym semantics.
+    """
+    import gymnasium as gym
+    from dm_control import suite
+
+    domain, task = env_id.split("/", 1)[1].rsplit("-", 1)
+
+    class DmControlToGym(gym.Env):
+        def __init__(self):
+            self._seed = seed
+            self._env = suite.load(
+                domain, task, task_kwargs={"random": seed}
+            )
+            spec = self._env.action_spec()
+            self.action_space = gym.spaces.Box(
+                np.asarray(spec.minimum, np.float32),
+                np.asarray(spec.maximum, np.float32),
+                dtype=np.float32,
+            )
+            dim = sum(
+                max(1, int(np.prod(v.shape)))
+                for v in self._env.observation_spec().values()
+            )
+            self.observation_space = gym.spaces.Box(
+                -np.inf, np.inf, (dim,), np.float64
+            )
+
+        @staticmethod
+        def _flat(obs) -> np.ndarray:
+            return np.concatenate(
+                [np.asarray(v, np.float64).ravel() for v in obs.values()]
+            )
+
+        def reset(self, seed=None, options=None):
+            if seed is not None and seed != self._seed:
+                self._seed = seed
+                self._env = suite.load(
+                    domain, task, task_kwargs={"random": seed}
+                )
+            ts = self._env.reset()
+            return self._flat(ts.observation), {}
+
+        def step(self, action):
+            ts = self._env.step(np.asarray(action))
+            reward = float(ts.reward or 0.0)
+            last = ts.last()
+            terminated = bool(last and ts.discount == 0.0)
+            truncated = bool(last and not terminated)
+            return self._flat(ts.observation), reward, terminated, truncated, {}
+
+    return DmControlToGym()
+
+
 class GymPool:
     """Batched host gymnasium envs, jit-compatible via io_callback."""
 
@@ -64,7 +125,10 @@ class GymPool:
         self.num_envs = num_envs
         self._envs = []
         for i in range(num_envs):
-            e = gym.make(env_id)
+            if env_id.startswith("dm_control/"):
+                e = _dm_control_env(env_id, seed=seed * 1000 + i)
+            else:
+                e = gym.make(env_id)
             if wrap == "ppo_continuous":
                 # cleanrl/ppo_continuous_action.py:86-96, minus the video
                 # recorder (handled by utils/video.py).

@@ -74,7 +74,38 @@ def main(args=None):
 
     model = PPGAgent(num_actions=env.num_actions)
     init_runner, ppg_cycle = make_ppg(env, model, cfg)
-    return run_training(init_runner, ppg_cycle, CycleCfg, args)
+    out = run_training(init_runner, ppg_cycle, CycleCfg, args)
+
+    if args.env_id.lower() == "procmaze":
+        # The procgen generalization metric (ppg_procgen.py's purpose):
+        # greedy eval on the TRAIN level window vs a DISJOINT held-out
+        # window of the same distribution.
+        import jax
+
+        from mmtrl_tpu.envs.procmaze import ProcMaze
+        from mmtrl_tpu.utils.evaluate import evaluate_policy
+
+        params = out["runner"].train_state.params
+        apply2 = lambda p, o: model.apply(p, o)[:2]  # noqa: E731
+        test_env = ProcMaze(num_levels=200, start_level=800)
+        key = jax.random.PRNGKey(args.seed + 1000)
+        k_tr, k_te = jax.random.split(key)
+        res = {}
+        for tag, e, k in (("train", env, k_tr), ("test", test_env, k_te)):
+            m = jax.device_get(
+                jax.jit(
+                    lambda p, kk, e=e: evaluate_policy(
+                        e, apply2, p, kk, num_envs=64, num_steps=512
+                    )
+                )(params, k)
+            )
+            res[tag] = float(m["eval/episodic_return"])
+            print(
+                f"procmaze {tag} levels: return={res[tag]:.2f} over "
+                f"{int(m['eval/episodes'])} episodes"
+            )
+        out["generalization"] = res
+    return out
 
 
 if __name__ == "__main__":

@@ -91,3 +91,22 @@ def test_ppo_continuous_wrap_stack_reports_raw_rewards():
             saw_difference = True
     assert saw_difference, "normalized reward must differ from raw"
     env.close()
+
+
+def test_dm_control_bridge():
+    """dm_control suite through the bridge shim: flat obs, Box actions,
+    1000-step time-limit truncation semantics (reference RPO benchmark,
+    docs/rl-algorithms/rpo.md:116+)."""
+    pytest.importorskip("dm_control")
+    from mmtrl_tpu.envs.gym_bridge import GymPool
+
+    pool = GymPool("dm_control/cartpole-balance", 2, seed=3)
+    assert pool.observation_space.shape == (5,)
+    assert pool._act_space.shape == (1,)
+    obs = pool._host_reset()
+    assert obs.shape == (2, 5) and np.isfinite(obs).all()
+    a = np.zeros((2, 1), np.float32)
+    for _ in range(10):
+        o, fo, r, rr, d, t = pool._host_step(a)
+    assert np.isfinite(o).all() and np.isfinite(r).all()
+    pool.close()

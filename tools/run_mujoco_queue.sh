@@ -29,3 +29,6 @@ run ppo_hopper_s1 scripts/ppo_continuous_action.py --platform cpu --env-id Hoppe
 run ppo_walker_s1 scripts/ppo_continuous_action.py --platform cpu --env-id Walker2d-v4 \
   --num-envs 1 --total-timesteps 1000000 --seed 1 --print-interval 20
 echo "EXTENDED QUEUE DONE"
+run rpo_ballincup scripts/rpo_continuous_action.py --platform cpu --env-id dm_control/ball_in_cup-catch \
+  --num-envs 1 --total-timesteps 2000000 --seed 1 --print-interval 20
+echo "RPO DONE"
