@@ -3,7 +3,11 @@
 # Waits for any running ppg.py to finish first (shares the one chip).
 set -u
 cd "$(dirname "$0")/.."
-while ps aux | grep -q "[p]pg.py"; do sleep 30; done
+# Wait for a prior chip-owning run recorded in /tmp/ppg_procmaze.pid (pid
+# liveness, not process-name patterns — shell wrappers can embed the name).
+while [ -f /tmp/ppg_procmaze.pid ] && ps -p "$(cat /tmp/ppg_procmaze.pid | head -1)" > /dev/null 2>&1; do
+  sleep 30
+done
 run() {
   name="$1"; shift
   echo "=== $name: $* ==="
