@@ -46,11 +46,12 @@ def test_returns_to_go_golden():
 def test_trajectory_buffer_sampling_masks_episode_boundary():
     T, N, K = 10, 1, 4
     # Episode of 6 steps then one of 4; timesteps restart at step 6.
-    timesteps = jnp.array([[0, 1, 2, 3, 4, 5, 0, 1, 2, 3]]).T
+    # Storage is stream-major (N, T).
+    timesteps = jnp.array([[0, 1, 2, 3, 4, 5, 0, 1, 2, 3]])
     buf = TrajectoryBuffer(
-        states=jnp.arange(T, dtype=jnp.float32).reshape(T, N, 1),
-        actions=jnp.zeros((T, N), jnp.int32),
-        rtg=jnp.zeros((T, N)),
+        states=jnp.arange(T, dtype=jnp.float32).reshape(N, T, 1),
+        actions=jnp.zeros((N, T), jnp.int32),
+        rtg=jnp.zeros((N, T)),
         timesteps=timesteps.astype(jnp.int32),
         episode_starts=(timesteps == 0),
     )
@@ -58,7 +59,7 @@ def test_trajectory_buffer_sampling_masks_episode_boundary():
     for t_end in range(K - 1, T):
         offsets = jnp.arange(K) - (K - 1)
         t_idx = t_end + offsets
-        ts = buf.timesteps[t_idx, 0]
+        ts = buf.timesteps[0, t_idx]
         expected = ts[-1] + offsets
         mask = (expected >= 0) & (ts == expected)
         # Positions crossing into the previous episode must be masked.
@@ -72,12 +73,13 @@ def test_collect_trajectories_shapes():
     buf = jax.jit(lambda k: collect_trajectories(env, k, 32, 2))(
         jax.random.PRNGKey(0)
     )
-    # states stored flat (TPU layout); sample() restores (B, K, *state_shape)
-    assert buf.states.shape == (32, 2, 2 * 84 * 84)
+    # states stored flat and STREAM-MAJOR (N, T, F) so windows are contiguous
+    # slabs; sample() restores (B, K, *state_shape)
+    assert buf.states.shape == (2, 32, 2 * 84 * 84)
     assert buf.state_shape == (2, 84, 84)
     rtg, states, actions, ts, mask = buf.sample(jax.random.PRNGKey(1), 4, 5)
     assert states.shape == (4, 5, 2, 84, 84)
-    assert buf.actions.shape == buf.rtg.shape == buf.timesteps.shape == (32, 2)
+    assert buf.actions.shape == buf.rtg.shape == buf.timesteps.shape == (2, 32)
     # rtg is consistent: at episode starts, rtg equals the sum of rewards of
     # that episode — at minimum, rtg is finite and bounded by reward scale.
     assert np.isfinite(np.asarray(buf.rtg)).all()

@@ -33,12 +33,13 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     flat = int(jnp.prod(jnp.asarray(STATE_SHAPE)))
+    # Stream-major (N, T, ...) storage: see TrajectoryBuffer layout note.
     buffer = TrajectoryBuffer(
-        states=jax.random.uniform(k1, (T, N, flat), jnp.bfloat16, minval=-1, maxval=1),
-        actions=jax.random.randint(k2, (T, N), 0, 4, dtype=jnp.int32),
-        rtg=jax.random.uniform(k2, (T, N), jnp.float32, minval=-30, maxval=10),
-        timesteps=jnp.tile(jnp.arange(T, dtype=jnp.int32)[:, None] % 64, (1, N)),
-        episode_starts=jnp.zeros((T, N), bool),
+        states=jax.random.uniform(k1, (N, T, flat), jnp.bfloat16, minval=-1, maxval=1),
+        actions=jax.random.randint(k2, (N, T), 0, 4, dtype=jnp.int32),
+        rtg=jax.random.uniform(k2, (N, T), jnp.float32, minval=-30, maxval=10),
+        timesteps=jnp.tile(jnp.arange(T, dtype=jnp.int32)[None, :] % 64, (N, 1)),
+        episode_starts=jnp.zeros((N, T), bool),
         state_shape=STATE_SHAPE,
     )
     cfg = DTConfig(num_actions=4, context_len=K, d_model=512, n_layers=6,
