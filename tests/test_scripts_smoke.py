@@ -155,3 +155,18 @@ def test_dqn_prioritized():
         "dqn",
         OFFPOLICY + ["--env-id", "CartPole-v1", "--prioritized-replay", "True"],
     )
+
+
+def test_dt_minecraft_pipeline():
+    """Full offline pipeline: collect -> stream-major buffer -> train ->
+    return-conditioned eval, with a tiny model and budget."""
+    import dt_minecraft
+
+    out = dt_minecraft.main(dt_minecraft.cli(dt_minecraft.Args, [
+        "--collect-steps", "64", "--collect-envs", "2",
+        "--context-len", "4", "--d-model", "32", "--n-layers", "1",
+        "--n-heads", "2", "--batch-size", "4", "--total-steps", "6",
+        "--warmup-steps", "2", "--eval-envs", "2", "--eval-steps", "8",
+        "--print-interval", "3",
+    ]))
+    assert "eval/episodic_return" in out
