@@ -17,8 +17,11 @@ observation synthesis is ON DEVICE inside jit —
 
 Observation contract matches the device-resident simulator
 (envs/skeleton_plus.py): (3, 84, 84) = [frame, MFCC-L, MFCC-R] in [-1, 1],
-5 actions (FORWARD, TURN_LEFT, TURN_RIGHT, FIRE, NOOP) — policies transfer
-between the sim and the ROM.
+5 actions (FORWARD, TURN_LEFT, TURN_RIGHT, FIRE, NOOP) — checkpoints load
+interchangeably.  Measured transfer (RESULTS.md): a sim-trained policy
+scores at random level on the ROM (−40.3 vs random −34.5) — the CONTRACT
+transfers, the behavior does not (mechanics diverge; docs/environments.md
+fidelity table).  Train on the ROM directly for ROM performance.
 """
 
 from __future__ import annotations

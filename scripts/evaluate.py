@@ -24,6 +24,8 @@ from mmtrl_tpu.utils.evaluate import evaluate_policy
 @dataclasses.dataclass
 class Args:
     load_from: str = field("", "checkpoint path (saved_agents/<run_name>)")
+    platform: str = field("", "force the jax platform ('cpu' for io_callback"
+                              " envs on remote-TPU setups); empty = default")
     script: str = field("train", "entry script whose architecture to rebuild")
     env_id: str = field("minecraft", "environment id")
     seed: int = field(1, "evaluation seed")
@@ -75,7 +77,13 @@ def build_model(args, env):
 
 def main(args=None):
     args = args or cli(Args)
-    env = make(args.env_id)
+    if args.env_id.lower() == "skeleton_plus_native":
+        # Native ROM env: fixed host pool size must match num_envs.  This is
+        # the sim->ROM transfer evaluation path (same obs/action contract,
+        # docs/environments.md fidelity table).
+        env = make(args.env_id, num_envs=args.num_envs)
+    else:
+        env = make(args.env_id)
     model, recurrent = build_model(args, env)
     restored = load_run(args.load_from)
     params = restored["train_state"]["params"]
