@@ -89,7 +89,9 @@ def _dm_control_env(env_id: str, seed: int = 0):
             )
 
         def reset(self, seed=None, options=None):
-            if seed is not None and seed != self._seed:
+            # gymnasium contract: any explicit seed deterministically restarts
+            # the RNG stream, even if it equals the previously-used seed.
+            if seed is not None:
                 self._seed = seed
                 self._env = suite.load(
                     domain, task, task_kwargs={"random": seed}

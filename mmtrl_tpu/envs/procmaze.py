@@ -77,6 +77,8 @@ def _far_apart(rng: np.random.Generator, walls: np.ndarray):
     best, best_d = None, -1
     for _ in range(8):
         a, b = open_cells[rng.integers(len(open_cells), size=2)]
+        while np.array_equal(a, b):  # distinct cells (redraw keeps the RNG
+            a, b = open_cells[rng.integers(len(open_cells), size=2)]  # stream
         d = abs(int(a[0]) - int(b[0])) + abs(int(a[1]) - int(b[1]))
         if d > best_d:
             best, best_d = (a, b), d
@@ -95,6 +97,10 @@ class ProcMaze(Environment):
 
     ``num_levels=0`` means the full distribution (procgen convention);
     here "full" is ``total_levels`` generated levels.
+
+    Convention: hitting ``max_steps`` is folded into ``done`` with no
+    truncation distinction (GAE does not bootstrap through time-limit
+    ends) — consistent with this repo's other device-resident envs.
     """
 
     def __init__(

@@ -87,6 +87,14 @@ def main(args=None):
 
         params = out["runner"].train_state.params
         apply2 = lambda p, o: model.apply(p, o)[:2]  # noqa: E731
+        # Held-out window is [800, 1000); the generalization metric is only
+        # valid if the train window never reaches into it.
+        tr_lo, tr_hi = args.start_level, args.start_level + args.num_levels
+        if max(tr_lo, 800) < min(tr_hi, 1000):
+            raise SystemExit(
+                f"train levels [{tr_lo},{tr_hi}) overlap the held-out "
+                "window [800,1000) — shrink --num-levels/--start-level"
+            )
         test_env = ProcMaze(num_levels=200, start_level=800)
         key = jax.random.PRNGKey(args.seed + 1000)
         k_tr, k_te = jax.random.split(key)
