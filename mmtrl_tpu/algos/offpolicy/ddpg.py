@@ -17,7 +17,11 @@ import optax
 from flax import struct
 from flax.training.train_state import TrainState
 
-from mmtrl_tpu.algos.offpolicy.common import OffPolicyRunner
+from mmtrl_tpu.algos.offpolicy.common import (
+    AlgoParts,
+    OffPolicyRunner,
+    make_chunk_fn,
+)
 from mmtrl_tpu.core.metrics import EpisodeStatistics
 from mmtrl_tpu.data.buffers import ReplayBuffer
 from mmtrl_tpu.envs.base import Environment
@@ -120,36 +124,12 @@ def make_ddpg(env: Environment, actor_model, critic_model, cfg: DDPGConfig):
         )
         return state.replace(actor=actor, critic=critic), loss
 
-    def step_fn(runner: OffPolicyRunner, _):
-        key, k_noise, k_rand, k_step, k_sample = jax.random.split(runner.key, 5)
-        state: DDPGState = runner.train_state
-        scale = (a_high - a_low) / 2.0
-        a_det = actor_model.apply(state.actor.params, runner.obs)
-        noise = jax.random.normal(k_noise, a_det.shape) * cfg.exploration_noise * scale
-        a_random = jax.random.uniform(
-            k_rand, a_det.shape, minval=a_low, maxval=a_high
-        )
-        warmup = runner.global_step < cfg.learning_starts
-        action = jnp.where(warmup, a_random, jnp.clip(a_det + noise, a_low, a_high))
-
-        next_obs, env_state, reward, done, info = env.v_step(
-            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
-        )
-        stats = runner.stats.update(reward, done)
-        # SB3 handle_timeout_termination semantics (the reference's replay
-        # path): bootstrap through time-limit truncation, and store the TRUE
-        # post-transition observation (pre-auto-reset).
-        truncated = info.get("truncated", jnp.zeros_like(done))
-        store_done = (done & ~truncated).astype(jnp.float32)
-        store_next_obs = info.get("final_obs", next_obs)
-        buffer = runner.buffer.add_batch(
-            dict(
-                obs=runner.obs, action=action, reward=reward,
-                next_obs=store_next_obs, done=store_done,
-            ),
-            cfg.num_envs,
-        )
-        global_step = runner.global_step + cfg.num_envs
+    def insert_update(state, buffer, global_step, transition, keys):
+        """Buffer insert + the reference's update cadence; shared verbatim by
+        step_fn and the host-loop chunk path (common.make_chunk_fn)."""
+        (k_sample,) = keys
+        buffer = buffer.add_batch(transition, cfg.num_envs)
+        global_step = global_step + cfg.num_envs
 
         def do_updates(state):
             batch = buffer.sample(k_sample, cfg.batch_size)
@@ -169,20 +149,67 @@ def make_ddpg(env: Environment, actor_model, critic_model, cfg: DDPGConfig):
             lambda s: (s, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
             state,
         )
+        metrics = {
+            "losses/qf1_loss": c_loss,
+            "losses/actor_loss": a_loss,
+            "losses/qf1_values": q_mean,
+        }
+        return state, buffer, global_step, metrics
+
+    scale = (a_high - a_low) / 2.0
+
+    def act_explore(params, obs, key):
+        a_det = actor_model.apply(params, obs)
+        noise = jax.random.normal(key, a_det.shape) * cfg.exploration_noise * scale
+        return jnp.clip(a_det + noise, a_low, a_high)
+
+    def step_fn(runner: OffPolicyRunner, _):
+        key, k_noise, k_rand, k_step, k_sample = jax.random.split(runner.key, 5)
+        state: DDPGState = runner.train_state
+        a_noised = act_explore(state.actor.params, runner.obs, k_noise)
+        a_random = jax.random.uniform(
+            k_rand, a_noised.shape, minval=a_low, maxval=a_high
+        )
+        warmup = runner.global_step < cfg.learning_starts
+        action = jnp.where(warmup, a_random, a_noised)
+
+        next_obs, env_state, reward, done, info = env.v_step(
+            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
+        )
+        stats = runner.stats.update(reward, done)
+        # SB3 handle_timeout_termination semantics (the reference's replay
+        # path): bootstrap through time-limit truncation, and store the TRUE
+        # post-transition observation (pre-auto-reset).
+        truncated = info.get("truncated", jnp.zeros_like(done))
+        store_done = (done & ~truncated).astype(jnp.float32)
+        store_next_obs = info.get("final_obs", next_obs)
+        state, buffer, global_step, metrics = insert_update(
+            state,
+            runner.buffer,
+            runner.global_step,
+            dict(
+                obs=runner.obs, action=action, reward=reward,
+                next_obs=store_next_obs, done=store_done,
+            ),
+            (k_sample,),
+        )
         runner = runner.replace(
             train_state=state, buffer=buffer, env_state=env_state, obs=next_obs,
             global_step=global_step, stats=stats, key=key,
         )
-        return runner, (c_loss, a_loss, q_mean)
+        return runner, metrics
 
     def train_iteration(runner: OffPolicyRunner):
-        runner, (c_losses, a_losses, q_means) = jax.lax.scan(
+        runner, ms = jax.lax.scan(
             step_fn, runner, None, length=cfg.steps_per_iteration
         )
-        return runner, {
-            "losses/qf1_loss": c_losses[-1],
-            "losses/actor_loss": a_losses[-1],
-            "losses/qf1_values": q_means[-1],
-        }
+        return runner, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
-    return init_runner, train_iteration
+    return AlgoParts(
+        init_runner,
+        train_iteration,
+        chunk_fn=make_chunk_fn(insert_update, 1),
+        act_explore=act_explore,
+        act_greedy=lambda p, obs: actor_model.apply(p, obs),
+        actor_params=lambda st: st.actor.params,
+    )

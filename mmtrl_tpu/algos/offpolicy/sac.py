@@ -15,7 +15,11 @@ import optax
 from flax import struct
 from flax.training.train_state import TrainState
 
-from mmtrl_tpu.algos.offpolicy.common import OffPolicyRunner
+from mmtrl_tpu.algos.offpolicy.common import (
+    AlgoParts,
+    OffPolicyRunner,
+    make_chunk_fn,
+)
 from mmtrl_tpu.algos.offpolicy.ddpg import ACTrainState
 from mmtrl_tpu.core.metrics import EpisodeStatistics
 from mmtrl_tpu.data.buffers import ReplayBuffer
@@ -158,34 +162,13 @@ def make_sac(env: Environment, actor_model, critic_model, cfg: SACConfig):
 
         return state.replace(actor=actor), actor_loss
 
-    def step_fn(runner: OffPolicyRunner, _):
-        key, k_act, k_rand, k_step, k_sample, k_next, k_pi = jax.random.split(
-            runner.key, 7
-        )
-        state: SACState = runner.train_state
-        a_pi, _, _ = sample_action(state.actor.params, runner.obs, k_act)
-        a_random = jax.random.uniform(k_rand, a_pi.shape, minval=a_low, maxval=a_high)
-        warmup = runner.global_step < cfg.learning_starts
-        action = jnp.where(warmup, a_random, a_pi)
-
-        next_obs, env_state, reward, done, info = env.v_step(
-            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
-        )
-        stats = runner.stats.update(reward, done)
-        # SB3 handle_timeout_termination semantics (the reference's replay
-        # path): bootstrap through time-limit truncation, and store the TRUE
-        # post-transition observation (pre-auto-reset).
-        truncated = info.get("truncated", jnp.zeros_like(done))
-        store_done = (done & ~truncated).astype(jnp.float32)
-        store_next_obs = info.get("final_obs", next_obs)
-        buffer = runner.buffer.add_batch(
-            dict(
-                obs=runner.obs, action=action, reward=reward,
-                next_obs=store_next_obs, done=store_done,
-            ),
-            cfg.num_envs,
-        )
-        global_step = runner.global_step + cfg.num_envs
+    def insert_update(state, buffer, global_step, transition, keys):
+        """Buffer insert + the reference's per-step update cadence; shared
+        verbatim by the scanned device path (step_fn) and the host-loop
+        chunk path (common.make_chunk_fn) so their math cannot diverge."""
+        k_sample, k_next, k_pi = keys
+        buffer = buffer.add_batch(transition, cfg.num_envs)
+        global_step = global_step + cfg.num_envs
 
         def do_updates(state):
             batch = buffer.sample(k_sample, cfg.batch_size)
@@ -232,21 +215,63 @@ def make_sac(env: Environment, actor_model, critic_model, cfg: SACConfig):
             lambda s: (s, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
             state,
         )
+        metrics = {
+            "losses/qf_loss": c_loss,
+            "losses/actor_loss": a_loss,
+            "losses/qf1_values": q_mean,
+            "losses/alpha": jnp.exp(state.log_alpha),
+        }
+        return state, buffer, global_step, metrics
+
+    def step_fn(runner: OffPolicyRunner, _):
+        key, k_act, k_rand, k_step, k_sample, k_next, k_pi = jax.random.split(
+            runner.key, 7
+        )
+        state: SACState = runner.train_state
+        a_pi, _, _ = sample_action(state.actor.params, runner.obs, k_act)
+        a_random = jax.random.uniform(k_rand, a_pi.shape, minval=a_low, maxval=a_high)
+        warmup = runner.global_step < cfg.learning_starts
+        action = jnp.where(warmup, a_random, a_pi)
+
+        next_obs, env_state, reward, done, info = env.v_step(
+            jax.random.split(k_step, cfg.num_envs), runner.env_state, action
+        )
+        stats = runner.stats.update(reward, done)
+        # SB3 handle_timeout_termination semantics (the reference's replay
+        # path): bootstrap through time-limit truncation, and store the TRUE
+        # post-transition observation (pre-auto-reset).
+        truncated = info.get("truncated", jnp.zeros_like(done))
+        store_done = (done & ~truncated).astype(jnp.float32)
+        store_next_obs = info.get("final_obs", next_obs)
+        state, buffer, global_step, metrics = insert_update(
+            state,
+            runner.buffer,
+            runner.global_step,
+            dict(
+                obs=runner.obs, action=action, reward=reward,
+                next_obs=store_next_obs, done=store_done,
+            ),
+            (k_sample, k_next, k_pi),
+        )
         runner = runner.replace(
             train_state=state, buffer=buffer, env_state=env_state, obs=next_obs,
             global_step=global_step, stats=stats, key=key,
         )
-        return runner, (c_loss, a_loss, q_mean, jnp.exp(state.log_alpha))
+        return runner, metrics
 
     def train_iteration(runner: OffPolicyRunner):
-        runner, (c_losses, a_losses, q_means, alphas) = jax.lax.scan(
+        runner, ms = jax.lax.scan(
             step_fn, runner, None, length=cfg.steps_per_iteration
         )
-        return runner, {
-            "losses/qf_loss": c_losses[-1],
-            "losses/actor_loss": a_losses[-1],
-            "losses/qf1_values": q_means[-1],
-            "losses/alpha": alphas[-1],
-        }
+        return runner, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
-    return init_runner, train_iteration
+    return AlgoParts(
+        init_runner,
+        train_iteration,
+        chunk_fn=make_chunk_fn(insert_update, 3),
+        act_explore=lambda p, obs, key: sample_action(p, obs, key)[0],
+        act_greedy=lambda p, obs: (
+            jnp.tanh(actor_model.apply(p, obs)[0]) * action_scale + action_bias
+        ),
+        actor_params=lambda st: st.actor.params,
+    )

@@ -366,11 +366,13 @@ def make_recurrent_ppo(env: Environment, model, cfg: PPOConfig):
         )
         return rs, transition
 
-    def train_iteration(rs: RunnerState):
-        initial_carry = rs.carry
-        rs, (obs, actions, logprobs, rewards, dones, values) = jax.lax.scan(
-            _rollout_step, rs, None, length=cfg.num_steps
-        )
+    def update_from_rollout(rs: RunnerState, initial_carry, rollout):
+        """PPO update from a completed rollout; shared by the fused device
+        path (train_iteration) and the host-loop ROM path
+        (algos/ppo/hostloop.py), so the update math cannot diverge.
+        ``rs`` carries the post-rollout (obs, done, carry) for the value
+        bootstrap; ``rollout`` leaves are time-major (T, N, ...)."""
+        obs, actions, logprobs, rewards, dones, values = rollout
         _, next_value, _ = model.apply(
             rs.train_state.params, rs.obs[None], rs.done[None], rs.carry
         )
@@ -434,7 +436,31 @@ def make_recurrent_ppo(env: Environment, model, cfg: PPOConfig):
         rs = rs.replace(train_state=ts, key=key)
         return rs, metrics
 
-    return init_runner, train_iteration
+    def train_iteration(rs: RunnerState):
+        initial_carry = rs.carry
+        rs, rollout = jax.lax.scan(
+            _rollout_step, rs, None, length=cfg.num_steps
+        )
+        return update_from_rollout(rs, initial_carry, rollout)
+
+    def policy_step(params, obs, done, carry, key):
+        """One behavior-policy step (host-loop rollout building block)."""
+        logits, value, new_carry = model.apply(
+            params, obs[None], done[None], carry
+        )
+        action = categorical_sample(key, logits[0])
+        logprob = categorical_log_prob(logits[0], action)
+        return action, logprob, value[0], new_carry
+
+    from mmtrl_tpu.algos.offpolicy.common import AlgoParts
+
+    return AlgoParts(
+        init_runner,
+        train_iteration,
+        update_from_rollout=update_from_rollout,
+        policy_step=policy_step,
+        maybe_clip=lambda r: _maybe_clip(cfg, r),
+    )
 
 
 # =============================================================================

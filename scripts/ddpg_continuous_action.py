@@ -43,13 +43,24 @@ class Args:
     save_dir: str = field("saved_agents", "checkpoint folder")
     load_from: str = field("", "checkpoint path from which to resume the run")
     platform: str = field("", "force the jax platform (e.g. 'cpu'); empty = default")
+    host_loop: bool = field(
+        False,
+        "step envs on host + updates on the accelerator (for remote-TPU "
+        "setups where io_callback cannot cross the tunnel)",
+    )
+    chunk_size: int = field(64, "host-loop transitions per device dispatch")
 
 
 def main(args=None):
     args = args or cli(Args)
-    from mmtrl_tpu.envs.gym_bridge import make_any
+    from mmtrl_tpu.envs.gym_bridge import GymPool, make_any
 
-    env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
+    if args.host_loop:
+        # host-loop mode needs a real host env pool even for env ids that
+        # also have a pure-JAX registry implementation.
+        env = GymPool(args.env_id, args.num_envs, seed=args.seed)
+    else:
+        env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
     cfg = DDPGConfig(
         total_timesteps=args.total_timesteps,
         learning_rate=args.learning_rate,
@@ -72,6 +83,10 @@ def main(args=None):
         action_bias=tuple(np.ravel((np.asarray(sp.high) + np.asarray(sp.low)) / 2.0)),
     )
     critic = QFunction()
+    if args.host_loop:
+        from mmtrl_tpu.algos.offpolicy.hostloop import run_offpolicy_hostloop
+
+        return run_offpolicy_hostloop(make_ddpg, env, actor, critic, cfg, args)
     init_runner, train_iteration = make_ddpg(env, actor, critic, cfg)
     eval_setup = (
         env,

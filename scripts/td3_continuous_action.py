@@ -24,9 +24,14 @@ class Args(ddpg_continuous_action.Args):
 
 def main(args=None):
     args = args or cli(Args)
-    from mmtrl_tpu.envs.gym_bridge import make_any
+    from mmtrl_tpu.envs.gym_bridge import GymPool, make_any
 
-    env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
+    if args.host_loop:
+        # host-loop mode needs a real host env pool even for env ids that
+        # also have a pure-JAX registry implementation.
+        env = GymPool(args.env_id, args.num_envs, seed=args.seed)
+    else:
+        env, _ = make_any(args.env_id, num_envs=args.num_envs, seed=args.seed)
     cfg = TD3Config(
         total_timesteps=args.total_timesteps,
         learning_rate=args.learning_rate,
@@ -51,6 +56,10 @@ def main(args=None):
         action_bias=tuple(np.ravel((np.asarray(sp.high) + np.asarray(sp.low)) / 2.0)),
     )
     critic = QFunction()
+    if args.host_loop:
+        from mmtrl_tpu.algos.offpolicy.hostloop import run_offpolicy_hostloop
+
+        return run_offpolicy_hostloop(make_td3, env, actor, critic, cfg, args)
     init_runner, train_iteration = make_td3(env, actor, critic, cfg)
     eval_setup = (
         env,

@@ -120,6 +120,18 @@ def test_sac():
     run_main("sac_continuous_action", OFFPOLICY)
 
 
+@pytest.mark.parametrize("algo", ["sac", "td3", "ddpg"])
+def test_offpolicy_hostloop(algo):
+    """Host-loop mode: host envs + device chunk updates (hostloop.py)."""
+    out = run_main(
+        f"{algo}_continuous_action",
+        OFFPOLICY
+        + ["--env-id", "Pendulum-v1", "--host-loop", "--chunk-size", "32"],
+    )
+    assert out["global_step"] >= 512
+    assert "eval_episodic_return" in out
+
+
 def test_ppg():
     run_main(
         "ppg",
