@@ -66,6 +66,13 @@ def make_dt_train_step(model_cfg: DTConfig):
 
     def train_step(state: TrainState, batch, dropout_key: jax.Array):
         rtg, states, actions, timesteps, mask = batch
+        # Dropout masks via the RBG generator: threefry mask generation for
+        # 19 (B,3K,D) masks costs ~3.2 ms/step on v5e (measured,
+        # tools/bench_dt_breakdown.py); RBG uses the TPU's native RNG.  One
+        # threefry draw seeds it, so the caller's key semantics are kept.
+        dropout_key = jax.random.key(
+            jax.random.bits(dropout_key, dtype=jnp.uint32), impl="rbg"
+        )
 
         def loss_fn(params):
             logits = model.apply(

@@ -25,6 +25,57 @@ def ortho(scale: float = float(np.sqrt(2))):
 ZEROS = nn.initializers.zeros
 
 
+class _S2DConv(nn.Module):
+    """8x8-stride-4 conv over a 1-channel input, computed space-to-depth.
+
+    A C_in=1 conv wastes most of the MXU's channel lanes (measured ~4.7 ms
+    of the flagship DT step in the two towers, tools/bench_dt_breakdown.py).
+    Packing each 4x4 pixel block into 16 channels turns it into an exactly
+    equivalent 2x2-stride-1 conv over 16 channels:
+
+        out(i,j,o) = sum_{u,v} W[u,v,0,o] x[4i+u, 4j+v]
+                   = sum_{a,b,c} W2[a,b,c,o] x2[i+a, j+b, c],
+        c = 4*dy + dx,  u = 4a+dy,  v = 4b+dx.
+
+    The parameter KEEPS the reference layout (8,8,1,features) — same names,
+    same shapes, same orthogonal-init distribution (flattened (64,F) either
+    way) — so existing checkpoints load unchanged; only the apply-time
+    layout differs.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        kernel = self.param(
+            "kernel", ortho(), (8, 8, 1, self.features), jnp.float32
+        )
+        bias = self.param("bias", ZEROS, (self.features,), jnp.float32)
+        b, h, w, _ = x.shape
+        dt = self.dtype or x.dtype
+        x2 = (
+            x.reshape(b, h // 4, 4, w // 4, 4)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(b, h // 4, w // 4, 16)
+        )
+        w2 = (
+            kernel.reshape(2, 4, 2, 4, self.features)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(2, 2, 16, self.features)
+        )
+        out = jax.lax.conv_general_dilated(
+            x2.astype(dt),
+            w2.astype(dt),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(dt)
+
+
 class AtariTower(nn.Module):
     """The Nature-CNN tower, 'big' (512-d) or 'small' (256-d) per the
     reference's conv_factory (src/agents.py:30-55).
@@ -54,11 +105,20 @@ class AtariTower(nn.Module):
             widths, kernels, strides = (16, 32), (8, 4), (4, 2)
         else:
             raise ValueError(f"unknown tower size {self.size!r}")
-        for w, k, s in zip(widths, kernels, strides):
-            x = nn.Conv(
-                w, (k, k), strides=(s, s), padding="VALID",
-                kernel_init=ortho(), bias_init=ZEROS, dtype=self.dtype,
-            )(x)
+        for i, (w, k, s) in enumerate(zip(widths, kernels, strides)):
+            if (
+                i == 0 and x.shape[-1] == 1 and (k, s) == (8, 4)
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+            ):
+                # checkpoint-compatible MXU-friendly path (see _S2DConv);
+                # explicit names keep flax's auto-numbering (Conv_0...)
+                x = _S2DConv(w, dtype=self.dtype, name="Conv_0")(x)
+            else:
+                x = nn.Conv(
+                    w, (k, k), strides=(s, s), padding="VALID",
+                    kernel_init=ortho(), bias_init=ZEROS, dtype=self.dtype,
+                    name=f"Conv_{i}",
+                )(x)
             x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(

@@ -38,6 +38,15 @@ class Args(BasePPOArgs):
     )
     frameskip: int = field(8, "emulator frames per env step (native backend)")
     reward_mode: str = field("shaped", "'shaped' (sim-compatible) or 'kills' (score delta)")
+    host_loop: bool = field(
+        False,
+        "native backend via the host rollout loop (policy+update on the "
+        "accelerator, emulation on host) — for remote-TPU setups where "
+        "io_callback cannot cross the tunnel",
+    )
+    eval_steps: int = field(
+        4000, "greedy eval env-steps after host-loop training (0: skip)"
+    )
 
 
 def main(args=None):
@@ -61,6 +70,14 @@ def main(args=None):
         fusion_type=args.fusion_type,
         input_scale=1.0,  # this env has no legacy /255 quirk to preserve
     )
+    if args.host_loop:
+        if args.backend != "native":
+            raise SystemExit("--host-loop requires --backend native")
+        from mmtrl_tpu.algos.ppo.hostloop import run_recurrent_ppo_hostloop
+
+        return run_recurrent_ppo_hostloop(
+            env, model, cfg, args, eval_steps=args.eval_steps
+        )
     init_runner, train_iteration = make_recurrent_ppo(env, model, cfg)
 
     import jax.numpy as jnp

@@ -178,6 +178,23 @@ def test_ppo_trains_on_the_real_rom():
     assert out["global_step"] == 256
 
 
+def test_ppo_hostloop_trains_on_the_real_rom():
+    """--backend native --host-loop: host emulation + device update path
+    (algos/ppo/hostloop.py), tiny budget, incl. the greedy eval loop."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    mod = importlib.import_module("skeleton_plus_ppo")
+    args = mod.Args(
+        total_timesteps=128, num_envs=2, num_steps=16, num_minibatches=2,
+        update_epochs=1, backend="native", host_loop=True, eval_steps=8,
+        track=False, save_interval=0, print_interval=10,
+    )
+    out = mod.main(args)
+    assert out["global_step"] == 128
+
+
 def test_contract_matches_simulator():
     from mmtrl_tpu.envs.skeleton_plus import SkeletonPlusSim
 
