@@ -1,4 +1,4 @@
-// TIA video — functional catch-up renderer.
+// TIA video — functional catch-up renderer, mask-composed.
 //
 // Renders each scanline incrementally: every TIA register write first
 // draws the beam up to the current color clock with the OLD state, then
@@ -7,6 +7,14 @@
 // Not cycle-exact (no HMOVE comb, no exact strobe latencies beyond the
 // standard +5 offset), but sufficient to rasterize real cartridges'
 // playfields and sprites and to latch the collision bits game logic reads.
+//
+// Rendering is object-mask based: each object (playfield, players,
+// missiles, ball) keeps a lazily rebuilt 160-bit scanline mask, rebuilt
+// only when one of its registers changes.  A render_to() segment then
+// costs word-level AND/OR for all 15 collision pairs plus a sparse
+// bit-iteration over object pixels for color priority — the per-pixel
+// predicate walk this replaces was 90% of emulator time (gprof; the
+// predicates remain below as the oracle for tia_mask equivalence tests).
 //
 // Geometry: 228 color clocks per scanline = 68 hblank + 160 visible.
 // VSYNC writes delimit frames; the machine exposes the last completed
@@ -38,47 +46,50 @@ class TiaVideo {
         return true;
       }
       case 0x01: vblank_ = value & 0x02; return true;
-      case 0x04: nusiz_[0] = value; return true;
-      case 0x05: nusiz_[1] = value; return true;
+      case 0x04: nusiz_[0] = value; dirty_ |= kDP0 | kDM0; return true;
+      case 0x05: nusiz_[1] = value; dirty_ |= kDP1 | kDM1; return true;
       case 0x06: colup_[0] = value; return true;
       case 0x07: colup_[1] = value; return true;
       case 0x08: colupf_ = value; return true;
       case 0x09: colubk_ = value; return true;
-      case 0x0A: ctrlpf_ = value; return true;
-      case 0x0B: refp_[0] = value & 0x08; return true;
-      case 0x0C: refp_[1] = value & 0x08; return true;
-      case 0x0D: pf_[0] = value; return true;
-      case 0x0E: pf_[1] = value; return true;
-      case 0x0F: pf_[2] = value; return true;
-      case 0x10: pos_p_[0] = strobe_pos(color_clock, 5); return true;
-      case 0x11: pos_p_[1] = strobe_pos(color_clock, 5); return true;
-      case 0x12: pos_m_[0] = strobe_pos(color_clock, 4); return true;
-      case 0x13: pos_m_[1] = strobe_pos(color_clock, 4); return true;
-      case 0x14: pos_bl_ = strobe_pos(color_clock, 4); return true;
+      case 0x0A: ctrlpf_ = value; dirty_ |= kDPF | kDBL; return true;
+      case 0x0B: refp_[0] = value & 0x08; dirty_ |= kDP0; return true;
+      case 0x0C: refp_[1] = value & 0x08; dirty_ |= kDP1; return true;
+      case 0x0D: pf_[0] = value; dirty_ |= kDPF; return true;
+      case 0x0E: pf_[1] = value; dirty_ |= kDPF; return true;
+      case 0x0F: pf_[2] = value; dirty_ |= kDPF; return true;
+      case 0x10: pos_p_[0] = strobe_pos(color_clock, 5); dirty_ |= kDP0; return true;
+      case 0x11: pos_p_[1] = strobe_pos(color_clock, 5); dirty_ |= kDP1; return true;
+      case 0x12: pos_m_[0] = strobe_pos(color_clock, 4); dirty_ |= kDM0; return true;
+      case 0x13: pos_m_[1] = strobe_pos(color_clock, 4); dirty_ |= kDM1; return true;
+      case 0x14: pos_bl_ = strobe_pos(color_clock, 4); dirty_ |= kDBL; return true;
       case 0x1B:
         grp_[0] = value;
         if (vdelp_[1]) grp_delayed_[1] = grp_buf_[1], grp_buf_[1] = grp_[1];
+        dirty_ |= kDP0 | kDP1;
         return true;
       case 0x1C:
         grp_[1] = value;
         if (vdelp_[0]) grp_delayed_[0] = grp_buf_[0], grp_buf_[0] = grp_[0];
+        dirty_ |= kDP0 | kDP1;
         return true;
-      case 0x1D: enam_[0] = value & 0x02; return true;
-      case 0x1E: enam_[1] = value & 0x02; return true;
-      case 0x1F: enabl_ = value & 0x02; return true;
+      case 0x1D: enam_[0] = value & 0x02; dirty_ |= kDM0; return true;
+      case 0x1E: enam_[1] = value & 0x02; dirty_ |= kDM1; return true;
+      case 0x1F: enabl_ = value & 0x02; dirty_ |= kDBL; return true;
       case 0x20: hm_p_[0] = (int8_t)value >> 4; return true;
       case 0x21: hm_p_[1] = (int8_t)value >> 4; return true;
       case 0x22: hm_m_[0] = (int8_t)value >> 4; return true;
       case 0x23: hm_m_[1] = (int8_t)value >> 4; return true;
       case 0x24: hm_bl_ = (int8_t)value >> 4; return true;
-      case 0x25: vdelp_[0] = value & 1; return true;
-      case 0x26: vdelp_[1] = value & 1; return true;
+      case 0x25: vdelp_[0] = value & 1; dirty_ |= kDP0; return true;
+      case 0x26: vdelp_[1] = value & 1; dirty_ |= kDP1; return true;
       case 0x2A:  // HMOVE: apply motion
         pos_p_[0] = wrap(pos_p_[0] - hm_p_[0]);
         pos_p_[1] = wrap(pos_p_[1] - hm_p_[1]);
         pos_m_[0] = wrap(pos_m_[0] - hm_m_[0]);
         pos_m_[1] = wrap(pos_m_[1] - hm_m_[1]);
         pos_bl_ = wrap(pos_bl_ - hm_bl_);
+        dirty_ |= kDP0 | kDP1 | kDM0 | kDM1 | kDBL;
         return true;
       case 0x2B: hm_p_[0] = hm_p_[1] = hm_m_[0] = hm_m_[1] = hm_bl_ = 0; return true;  // HMCLR
       case 0x2C: cx_ = 0; return true;  // CXCLR
@@ -183,52 +194,152 @@ class TiaVideo {
     return rel >= 0 && rel < size;
   }
 
+  // ---- object scanline masks (160 bits as 3x uint64) -------------------
+  struct M160 {
+    uint64_t w[3] = {0, 0, 0};
+    void clr() { w[0] = w[1] = w[2] = 0; }
+    void set(int x) { w[x >> 6] |= 1ull << (x & 63); }
+    bool test(int x) const { return (w[x >> 6] >> (x & 63)) & 1; }
+  };
+
+  static constexpr uint8_t kDPF = 1, kDP0 = 2, kDP1 = 4, kDM0 = 8,
+                           kDM1 = 16, kDBL = 32;
+
+ public:
+  // Exposed for the equivalence test (tests vs the predicate oracle).
+  void rebuild_masks_for_test() { rebuild_masks(); }
+  bool mask_pf(int x) { return pf_mask_.test(x); }
+  bool mask_player(int i, int x) { return p_mask_[i].test(x); }
+  bool mask_missile(int i, int x) { return m_mask_[i].test(x); }
+  bool mask_ball(int x) { return bl_mask_.test(x); }
+  bool oracle_pf(int x) const { return pf_bit(x); }
+  bool oracle_player(int i, int x) const { return player_bit(i, x); }
+  bool oracle_missile(int i, int x) const { return missile_bit(i, x); }
+  bool oracle_ball(int x) const { return ball_bit(x); }
+
+ private:
+  void rebuild_masks() {
+    if (dirty_ & kDPF) {
+      pf_mask_.clr();
+      for (int dot = 0; dot < 20; ++dot) {
+        bool bit = dot < 4   ? (pf_[0] >> (4 + dot)) & 1
+                   : dot < 12 ? (pf_[1] >> (11 - dot)) & 1
+                              : (pf_[2] >> (dot - 12)) & 1;
+        if (!bit) continue;
+        int l = dot * 4;
+        pf_mask_.w[l >> 6] |= 0xFull << (l & 63);  // 4-aligned: no word split
+        int rdot = (ctrlpf_ & 0x01) ? 19 - dot : dot;
+        int r = 80 + rdot * 4;
+        pf_mask_.w[r >> 6] |= 0xFull << (r & 63);
+      }
+    }
+    for (int i = 0; i < 2; ++i) {
+      if (dirty_ & (i ? kDP1 : kDP0)) {
+        M160& m = p_mask_[i];
+        m.clr();
+        uint8_t g = vdelp_[i] ? grp_delayed_[i] : grp_[i];
+        if (g) {
+          static const int kCopies[8][3] = {
+              {0, -1, -1}, {0, 16, -1}, {0, 32, -1}, {0, 16, 32},
+              {0, 64, -1}, {0, -1, -1}, {0, 32, 64}, {0, -1, -1},
+          };
+          int n = nusiz_[i] & 7;
+          int size = n == 5 ? 2 : (n == 7 ? 4 : 1);
+          for (int c = 0; c < 3; ++c) {
+            int off = kCopies[n][c];
+            if (off < 0) continue;
+            int base = wrap(pos_p_[i] + off);
+            for (int rel = 0; rel < 8 * size; ++rel) {
+              int bit = rel / size;
+              if (refp_[i]) bit = 7 - bit;
+              if ((g >> (7 - bit)) & 1) m.set((base + rel) % kVisible);
+            }
+          }
+        }
+      }
+      if (dirty_ & (i ? kDM1 : kDM0)) {
+        M160& m = m_mask_[i];
+        m.clr();
+        if (enam_[i]) {
+          int size = 1 << ((nusiz_[i] >> 4) & 3);
+          for (int r = 0; r < size; ++r) m.set((pos_m_[i] + r) % kVisible);
+        }
+      }
+    }
+    if (dirty_ & kDBL) {
+      bl_mask_.clr();
+      if (enabl_) {
+        int size = 1 << ((ctrlpf_ >> 4) & 3);
+        for (int r = 0; r < size; ++r) bl_mask_.set((pos_bl_ + r) % kVisible);
+      }
+    }
+    dirty_ = 0;
+  }
+
   void render_to(int color_clock) {
     int upto = color_clock - kHBlank;
     if (upto > kVisible) upto = kVisible;
-    for (int x = rendered_; x < upto; ++x) {
-      bool pf = pf_bit(x);
-      bool p0 = player_bit(0, x);
-      bool p1 = player_bit(1, x);
-      bool m0 = missile_bit(0, x);
-      bool m1 = missile_bit(1, x);
-      bool bl = ball_bit(x);
-      // collisions
-      if (m0 && p1) cx_ |= 1 << 0;
-      if (m0 && p0) cx_ |= 1 << 1;
-      if (m1 && p0) cx_ |= 1 << 2;
-      if (m1 && p1) cx_ |= 1 << 3;
-      if (p0 && pf) cx_ |= 1 << 4;
-      if (p0 && bl) cx_ |= 1 << 5;
-      if (p1 && pf) cx_ |= 1 << 6;
-      if (p1 && bl) cx_ |= 1 << 7;
-      if (m0 && pf) cx_ |= 1 << 8;
-      if (m0 && bl) cx_ |= 1 << 9;
-      if (m1 && pf) cx_ |= 1 << 10;
-      if (m1 && bl) cx_ |= 1 << 11;
-      if (bl && pf) cx_ |= 1 << 12;
-      if (p0 && p1) cx_ |= 1 << 13;
-      if (m0 && m1) cx_ |= 1 << 14;
-      // priority: players/missiles above playfield unless CTRLPF bit2
-      uint8_t color = colubk_;
-      bool pf_priority = ctrlpf_ & 0x04;
-      if (pf_priority && (pf || bl)) color = colupf_;
-      else if (p0 || m0) color = colup_[0];
-      else if (p1 || m1) color = colup_[1];
-      else if (pf || bl) {
-        // score mode: left half uses COLUP0, right half COLUP1
-        if ((ctrlpf_ & 0x02) && !(ctrlpf_ & 0x04))
-          color = x < 80 ? colup_[0] : colup_[1];
-        else color = colupf_;
-      }
-      if (!pf_priority && !(p0 || m0 || p1 || m1) && !(pf || bl)) color = colubk_;
-      if (pf_priority && !(pf || bl)) {
-        if (p0 || m0) color = colup_[0];
-        else if (p1 || m1) color = colup_[1];
-      }
-      line_[x] = color >> 1;  // 7-bit color index
+    if (upto <= rendered_) return;
+    if (dirty_) rebuild_masks();
+
+    uint64_t seg[3];
+    for (int wi = 0; wi < 3; ++wi) {
+      int lo = rendered_ - wi * 64, hi = upto - wi * 64;
+      if (hi <= 0 || lo >= 64) { seg[wi] = 0; continue; }
+      uint64_t m = ~0ull;
+      if (lo > 0) m &= ~0ull << lo;
+      if (hi < 64) m &= (1ull << hi) - 1;
+      seg[wi] = m;
     }
-    if (upto > rendered_) rendered_ = upto;
+
+    const M160 &pf = pf_mask_, &p0 = p_mask_[0], &p1 = p_mask_[1],
+               &m0 = m_mask_[0], &m1 = m_mask_[1], &bl = bl_mask_;
+    auto hit = [&](const M160& a, const M160& b) -> bool {
+      return ((a.w[0] & b.w[0] & seg[0]) | (a.w[1] & b.w[1] & seg[1]) |
+              (a.w[2] & b.w[2] & seg[2])) != 0;
+    };
+    // collision latches: word-level, identical pairs/bits to the per-pixel
+    // reference (see oracle predicates above)
+    if (hit(m0, p1)) cx_ |= 1 << 0;
+    if (hit(m0, p0)) cx_ |= 1 << 1;
+    if (hit(m1, p0)) cx_ |= 1 << 2;
+    if (hit(m1, p1)) cx_ |= 1 << 3;
+    if (hit(p0, pf)) cx_ |= 1 << 4;
+    if (hit(p0, bl)) cx_ |= 1 << 5;
+    if (hit(p1, pf)) cx_ |= 1 << 6;
+    if (hit(p1, bl)) cx_ |= 1 << 7;
+    if (hit(m0, pf)) cx_ |= 1 << 8;
+    if (hit(m0, bl)) cx_ |= 1 << 9;
+    if (hit(m1, pf)) cx_ |= 1 << 10;
+    if (hit(m1, bl)) cx_ |= 1 << 11;
+    if (hit(bl, pf)) cx_ |= 1 << 12;
+    if (hit(p0, p1)) cx_ |= 1 << 13;
+    if (hit(m0, m1)) cx_ |= 1 << 14;
+
+    // background fill, then sparse overlay of object pixels with the same
+    // priority logic as the per-pixel reference renderer
+    std::memset(line_ + rendered_, colubk_ >> 1, upto - rendered_);
+    const bool pf_priority = ctrlpf_ & 0x04;
+    const bool score = (ctrlpf_ & 0x02) && !pf_priority;
+    for (int wi = 0; wi < 3; ++wi) {
+      uint64_t bits =
+          (pf.w[wi] | p0.w[wi] | p1.w[wi] | m0.w[wi] | m1.w[wi] | bl.w[wi]) &
+          seg[wi];
+      while (bits) {
+        int b = __builtin_ctzll(bits);
+        bits &= bits - 1;
+        int x = wi * 64 + b;
+        bool fpf = pf.test(x) || bl.test(x);
+        uint8_t color;
+        if (pf_priority && fpf) color = colupf_;
+        else if (p0.test(x) || m0.test(x)) color = colup_[0];
+        else if (p1.test(x) || m1.test(x)) color = colup_[1];
+        else if (fpf) color = score ? (x < 80 ? colup_[0] : colup_[1]) : colupf_;
+        else color = colubk_;
+        line_[x] = color >> 1;  // 7-bit color index
+      }
+    }
+    rendered_ = upto;
   }
 
   // registers
@@ -243,6 +354,10 @@ class TiaVideo {
   int pos_p_[2] = {0, 0}, pos_m_[2] = {0, 0}, pos_bl_ = 0;
   int hm_p_[2] = {0, 0}, hm_m_[2] = {0, 0}, hm_bl_ = 0;
   uint16_t cx_ = 0;
+
+  // object masks (lazily rebuilt; see rebuild_masks)
+  M160 pf_mask_, p_mask_[2], m_mask_[2], bl_mask_;
+  uint8_t dirty_ = kDPF | kDP0 | kDP1 | kDM0 | kDM1 | kDBL;
 
   // beam state
   uint8_t line_[kVisible] = {0};
