@@ -3,7 +3,12 @@ from mmtrl_tpu.algos.dt.data import (
     returns_to_go,
     TrajectoryBuffer,
 )
-from mmtrl_tpu.algos.dt.train import DTTrainConfig, make_dt_train_step, create_dt_state
+from mmtrl_tpu.algos.dt.train import (
+    DTTrainConfig,
+    create_dt_state,
+    make_dt_train_step,
+    make_dt_train_steps,
+)
 from mmtrl_tpu.algos.dt.evaluate import evaluate_dt
 
 __all__ = [
@@ -12,6 +17,7 @@ __all__ = [
     "TrajectoryBuffer",
     "DTTrainConfig",
     "make_dt_train_step",
+    "make_dt_train_steps",
     "create_dt_state",
     "evaluate_dt",
 ]

@@ -91,7 +91,10 @@ def run_recurrent_ppo_hostloop(
 
     n, t_len = cfg.num_envs, cfg.num_steps
     parts = make_recurrent_ppo(_SpecEnv(env), model, cfg)
-    rs = parts[0](jax.random.PRNGKey(args.seed))
+    # jit the init: eagerly it is hundreds of small dispatches (orthogonal
+    # inits run QR on device), which is slow/fragile over a remote tunnel.
+    rs = jax.jit(parts[0])(jax.random.PRNGKey(args.seed))
+    print("runner initialized", flush=True)
     initial_update = 1
     if getattr(args, "load_from", ""):
         rs = load_run(args.load_from, target=jax.device_get(rs))

@@ -53,6 +53,9 @@ class Args:
     eval_envs: int = field(16, "evaluation envs")
     eval_steps: int = field(64, "evaluation env steps")
     print_interval: int = field(50, "log every n steps")
+    steps_per_dispatch: int = field(
+        1, "fused train steps per device dispatch (amortizes per-call cost)"
+    )
     save_interval: int = field(0, "save every n steps (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
     # Behavior policy for data collection (random if unset)
@@ -137,6 +140,16 @@ def main(args=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"DT params: {n_params/1e6:.1f}M")
 
+    g = max(1, args.steps_per_dispatch)
+    if g > 1:
+        from mmtrl_tpu.algos.dt import make_dt_train_steps
+
+        train_g = jax.jit(
+            make_dt_train_steps(
+                model_cfg, args.batch_size, args.context_len, g
+            ),
+            donate_argnums=(0,),
+        )
     train_step = jax.jit(make_dt_train_step(model_cfg), donate_argnums=(0,))
     # NB: the buffer must be an ARGUMENT, not a closure — closed-over device
     # arrays are baked into the HLO as constants (gigabytes of literal).
@@ -145,9 +158,12 @@ def main(args=None):
     )
 
     start = time.time()
-    for step in range(1, args.total_steps + 1):
+    for step in range(g, args.total_steps + 1, g):
         key, k_batch, k_drop = jax.random.split(key, 3)
-        state, metrics = train_step(state, sample(buffer, k_batch), k_drop)
+        if g > 1:
+            state, metrics = train_g(state, buffer, k_batch)
+        else:
+            state, metrics = train_step(state, sample(buffer, k_batch), k_drop)
         if step % args.print_interval == 0:
             metrics = jax.device_get(metrics)
             tokens_sec = (

@@ -182,3 +182,19 @@ def test_dt_minecraft_pipeline():
         "--print-interval", "3",
     ]))
     assert "eval/episodic_return" in out
+
+
+def test_dt_minecraft_fused_dispatch():
+    """--steps-per-dispatch > 1: scan-fused sample+train (train.py
+    make_dt_train_steps) must run the same pipeline."""
+    import dt_minecraft
+
+    out = dt_minecraft.main(dt_minecraft.cli(dt_minecraft.Args, [
+        "--collect-steps", "64", "--collect-envs", "2",
+        "--context-len", "4", "--d-model", "32", "--n-layers", "1",
+        "--n-heads", "2", "--batch-size", "4", "--total-steps", "6",
+        "--steps-per-dispatch", "3",
+        "--warmup-steps", "2", "--eval-envs", "2", "--eval-steps", "8",
+        "--print-interval", "3",
+    ]))
+    assert "eval/episodic_return" in out
