@@ -115,6 +115,8 @@ class Tuner:
         self.direction = direction
         self.aggregation_type = aggregation_type
         self.storage = storage
+        storage_dir = os.path.dirname(os.path.abspath(storage))
+        os.makedirs(storage_dir, exist_ok=True)
         self.study_name = study_name or "mmtrl_tuner"
         self.history: list = []
 

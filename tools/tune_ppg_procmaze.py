@@ -13,7 +13,9 @@ it at exit).
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))  # scripts import _common
 
 from mmtrl_tpu.utils.tuner import Tuner  # noqa: E402
 
