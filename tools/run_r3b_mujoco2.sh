@@ -1,0 +1,23 @@
+#!/bin/bash
+# Chained behind the MuJoCo lane (pid in /tmp/r3b_mujoco.pid): finish the
+# RPO dm_control breadth left open by the reboot — finger-spin (killed at
+# 1.06M/2M, last windows 688-730) rerun to the full 2M, then walker-walk
+# and cheetah-run (the last two of VERDICT item 4's named five).
+# Reference RPO @8M: finger-spin 848.67+-25.21, walker-walk 787.11+-125.97,
+# cheetah-run 565.51+-58.03 (docs/rl-algorithms/rpo.md).
+set -u
+cd "$(dirname "$0")/.."
+if [ -f /tmp/r3b_mujoco.pid ]; then
+  while kill -0 "$(cat /tmp/r3b_mujoco.pid)" 2>/dev/null; do sleep 60; done
+fi
+run() {
+  name="$1"; shift
+  echo "=== $name: $* ==="
+  python -u "$@" >"runs_mujoco/$name.log" 2>&1
+  echo "=== $name done rc=$? ==="
+}
+COMMON="--total-timesteps 2000000 --seed 1 --print-interval 20"
+run rpo_finger_spin2 scripts/rpo_continuous_action.py --env-id dm_control/finger-spin $COMMON
+run rpo_walker_walk  scripts/rpo_continuous_action.py --env-id dm_control/walker-walk $COMMON
+run rpo_cheetah_run  scripts/rpo_continuous_action.py --env-id dm_control/cheetah-run $COMMON
+echo "MUJOCO LANE 2 DONE"
