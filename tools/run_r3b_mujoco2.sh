@@ -17,7 +17,13 @@ run() {
   echo "=== $name done rc=$? ==="
 }
 COMMON="--total-timesteps 2000000 --seed 1 --print-interval 20"
-run rpo_finger_spin2 scripts/rpo_continuous_action.py --env-id dm_control/finger-spin $COMMON
+# walker-walk / cheetah-run first: they have NO RESULTS row yet, while
+# finger-spin already has an honest-partial row (640 @ 1.06M) — if wall
+# time runs out, the new-coverage runs must have happened first.
 run rpo_walker_walk  scripts/rpo_continuous_action.py --env-id dm_control/walker-walk $COMMON
 run rpo_cheetah_run  scripts/rpo_continuous_action.py --env-id dm_control/cheetah-run $COMMON
+run rpo_finger_spin2 scripts/rpo_continuous_action.py --env-id dm_control/finger-spin $COMMON
+# Seed-harden the ball_in_cup-catch headline row (VERDICT weak #3 / item 7):
+run rpo_bic_s2 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch --total-timesteps 2000000 --seed 2 --print-interval 20
+run rpo_bic_s3 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch --total-timesteps 2000000 --seed 3 --print-interval 20
 echo "MUJOCO LANE 2 DONE"
