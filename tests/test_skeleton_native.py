@@ -203,3 +203,42 @@ def test_contract_matches_simulator():
     assert env.observation_space.shape == sim.observation_space.shape
     assert env.num_actions == sim.num_actions
     env.close()
+
+
+def test_ppo_hostloop_resume_continues(tmp_path, capsys):
+    """Host-loop checkpoint resume continues the update counter.
+
+    This is the reboot-recovery path the long ROM training lane depends on
+    (tools/preserve_ckpt.sh): after a host reboot the lane restarts with
+    --load-from and must continue at the derived update, not at update 1
+    (reference resume contract: src/utils.py:40-44, src/train.py:120-123).
+    """
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    mod = importlib.import_module("skeleton_plus_ppo")
+    save_dir = str(tmp_path / "ckpt")
+    common = dict(
+        num_envs=2, num_steps=16, num_minibatches=2, update_epochs=1,
+        backend="native", host_loop=True, eval_steps=0, track=False,
+        print_interval=100, seed=3, save_dir=save_dir,
+    )
+    # Phase 1: 4 updates of 32 steps, checkpointing.
+    args1 = mod.Args(
+        total_timesteps=128, save_interval=2, exp_name="hl_resume_a", **common
+    )
+    out1 = mod.main(args1)
+    ckpt = os.path.join(save_dir, out1["run_name"])
+    assert os.path.exists(ckpt)
+    capsys.readouterr()
+
+    # Phase 2: resume with double the budget -> starts at update 5
+    # (4 updates x 2 opt-steps each -> opt step 8 -> update 8//2+1).
+    args2 = mod.Args(
+        total_timesteps=256, save_interval=0, load_from=ckpt,
+        exp_name="hl_resume_b", **common
+    )
+    out2 = mod.main(args2)
+    assert out2["global_step"] == 256
+    assert "resuming at update 5" in capsys.readouterr().out
