@@ -38,6 +38,13 @@ class PPGConfig(PPOConfig):
     e_auxiliary: int = 6  # aux-phase epochs
     beta_clone: float = 1.0
     num_aux_minibatches: int = 4
+    # Aux-phase rollout storage dtype.  The (n_iteration*T*N, F) obs stack
+    # is the HBM peak of the whole algorithm (procmaze defaults: ~5.5 GB in
+    # bf16, and the compile-time plan for the cycle tops 16 GB on a 16 GB
+    # v5e with num_aux_minibatches<=16).  'int8' is EXACT for envs whose
+    # obs values are integers in [-128,127] (procmaze planes are {-1,+1},
+    # envs/procmaze.py:133-146) and halves the stack again.
+    aux_store_dtype: str = "bfloat16"
 
     @property
     def num_updates(self) -> int:
@@ -180,7 +187,7 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
         mb = total // cfg.num_aux_minibatches
 
         def loss_fn(params, idx):
-            b_obs = aux_obs[idx].reshape((mb,) + obs_shape)
+            b_obs = aux_obs[idx].reshape((mb,) + obs_shape).astype(jnp.float32)
             b_ret = aux_returns[idx]
             b_old_logits = old_logits[idx]
             logits, value, aux_value = model.apply(params, b_obs)
@@ -217,10 +224,14 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
     def ppg_cycle(rs: RunnerState):
         def policy_iter(rs, _):
             rs, (obs, returns), metrics = policy_update(rs)
-            # Aux storage: bf16 (halves HBM; the aux MSE/KL tolerates it) and
-            # FLAT trailing dim (a (..., C, 84, 84) minor layout tiles to
-            # ~1.6x its logical size on TPU; a flat minor dim stays dense).
-            flat = obs.astype(jnp.bfloat16).reshape(obs.shape[:2] + (-1,))
+            # Aux storage: reduced precision (cfg.aux_store_dtype — bf16
+            # halves HBM and the aux MSE/KL tolerates it; int8 halves it
+            # again and is exact for integer-valued obs) and FLAT trailing
+            # dim (a (..., C, 84, 84) minor layout tiles to ~1.6x its
+            # logical size on TPU; a flat minor dim stays dense).
+            flat = obs.astype(jnp.dtype(cfg.aux_store_dtype)).reshape(
+                obs.shape[:2] + (-1,)
+            )
             return rs, (flat, returns, metrics)
 
         rs, (all_obs, all_returns, metrics) = jax.lax.scan(
@@ -238,7 +249,8 @@ def make_ppg(env: Environment, model: PPGAgent, cfg: PPGConfig):
         )
         old_logits = jax.lax.map(
             lambda o: model.apply(
-                rs.train_state.params, o.reshape((o.shape[0],) + obs_shape)
+                rs.train_state.params,
+                o.reshape((o.shape[0],) + obs_shape).astype(jnp.float32),
             )[0],
             chunked,
         )

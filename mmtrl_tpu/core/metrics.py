@@ -82,6 +82,13 @@ class MetricsWriter:
         from torch.utils.tensorboard import SummaryWriter  # lazy: heavy import
 
         self.run_name = run_name
+        # The tuner redirects each trial's run dir so its metric read-back
+        # never races concurrent runs writing runs/ (utils/tuner.py
+        # _run_script; the reference reads back from the script's own run
+        # dir the same way, cleanrl_utils/tuner.py:95-101).
+        import os
+
+        root = os.environ.get("MMTRL_RUN_ROOT", root)
         self.writer = SummaryWriter(f"{root}/{run_name}")
         self.start_time = time.time()
         # --track: mirror scalars to the wandb-compatible local journal

@@ -121,15 +121,19 @@ class Tuner:
         self.history: list = []
 
     def _run_script(self, argv: list) -> Optional[float]:
+        import time
+
         run_root = f"runs_tuner/{self.study_name}"
         before = set(glob.glob(f"{run_root}/*"))
+        start = time.time()
         old_argv = sys.argv
         sys.argv = [self.script] + argv + ["--exp-name", "tuner"]
         old_env = os.environ.get("MMTRL_RUN_ROOT")
         os.environ["MMTRL_RUN_ROOT"] = run_root
         try:
-            # The scripts write TensorBoard under runs/<run_name>; redirect
-            # is best-effort — fall back to scanning runs/.
+            # MetricsWriter honors MMTRL_RUN_ROOT, so the trial's TB events
+            # land under run_root and the read-back below cannot race other
+            # processes writing runs/ concurrently.
             runpy.run_path(self.script, run_name="__main__")
         finally:
             sys.argv = old_argv
@@ -137,8 +141,25 @@ class Tuner:
                 os.environ.pop("MMTRL_RUN_ROOT", None)
             else:
                 os.environ["MMTRL_RUN_ROOT"] = old_env
+            # Trials run in-process (the reference's runpy pattern,
+            # cleanrl_utils/tuner.py:92); without this, each trial's jitted
+            # executables/constants accumulate on the accelerator and a long
+            # study eventually OOMs device memory.
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
         candidates = sorted(
-            set(glob.glob(f"{run_root}/*")) - before or glob.glob("runs/*"),
+            set(glob.glob(f"{run_root}/*")) - before
+            # fallback for scripts with custom writers: only THIS trial's
+            # run dirs (exp-name 'tuner', created after the trial started)
+            or [
+                d
+                for d in glob.glob("runs/*__tuner__*")
+                if os.path.getmtime(d) >= start
+            ],
             key=os.path.getmtime,
         )
         if not candidates:
@@ -191,7 +212,15 @@ class Tuner:
             self.history.append(agg)
             results.append({"trial": trial_idx, "params": trial.params, "score": agg})
             with open(self.storage, "a") as f:
-                f.write(f"{results[-1]}\n")
+                # JSON lines (failed trials stored as score=null) so shell
+                # consumers can parse the study journal; -inf is not a JSON
+                # (or ast.literal_eval) literal.
+                import json
+
+                rec = dict(results[-1])
+                if rec["score"] == float("-inf"):
+                    rec["score"] = None
+                f.write(json.dumps(rec) + "\n")
             print(f"trial {trial_idx}: score={agg:.4f} params={trial.params}")
         best = max(results, key=lambda r: r["score"])
         print(f"best: {best}")

@@ -32,6 +32,12 @@ class Args(BasePPOArgs):
     clip_rewards: bool = field(False, "PPG uses raw rewards")
     num_levels: int = field(200, "procgen-style train-level count (procmaze)")
     start_level: int = field(0, "procgen-style first train level (procmaze)")
+    aux_store_dtype: str = field(
+        "auto",
+        "aux-phase obs storage dtype: 'auto' (int8 for procmaze, whose "
+        "{-1,+1} planes it stores exactly; bfloat16 otherwise), or an "
+        "explicit dtype",
+    )
 
 
 def main(args=None):
@@ -60,6 +66,11 @@ def main(args=None):
         e_auxiliary=args.e_auxiliary,
         beta_clone=args.beta_clone,
         num_aux_minibatches=args.num_aux_minibatches,
+        aux_store_dtype=(
+            ("int8" if args.env_id.lower() == "procmaze" else "bfloat16")
+            if args.aux_store_dtype == "auto"
+            else args.aux_store_dtype
+        ),
     )
 
     # One PPG cycle consumes n_iteration rollouts; reuse the PPO runner by
