@@ -10,7 +10,11 @@
 #   - the PPG sweep's metric read-back raced concurrent runs in runs/
 #     (tuner -inf bug, fixed via MMTRL_RUN_ROOT) and the study crashed on
 #     accumulated device state after 5 trials (fixed via jax.clear_caches
-#     per trial).  Re-run a clean 10-trial study and promote the winner.
+#     per trial).
+# Order is end-of-round aware: seed-hardening first, then promote the
+# measured winner of the r3b study (trial 0, score 0.187 — best of the
+# 2M-probe trials that scored; runs_mujoco/ppg_sweep.log), and only then
+# a clean re-run of the study with the fixed tuner.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs_mujoco runs_tuner
@@ -27,29 +31,17 @@ for seed in 2 3; do
   echo "ppg800 seed$seed rc=$?"
 done
 
+# r3b study winner (runs_tuner/ppg_procmaze_study.log trial 0), promoted
+# to the full 10M budget with the held-out [800,1000) eval.
+python -u scripts/ppg.py --env-id procmaze --num-levels 800 --num-envs 64 \
+  --total-timesteps 10000000 \
+  --learning-rate 0.0003464101615137754 --ent-coef 0.01 \
+  --e-auxiliary 4 --beta-clone 0.6095068271022377 \
+  --n-iteration 16 --num-aux-minibatches 16 \
+  --seed 1 --print-interval 5 > runs_mujoco/ppg_procmaze800_tuned.log 2>&1
+echo "tuned ppg rc=$?"
+
 rm -f runs_tuner/ppg_procmaze_study.log
 python -u tools/tune_ppg_procmaze.py 10 > runs_mujoco/ppg_sweep2.log 2>&1
 echo "sweep rc=$?"
-
-BEST=$(python - <<'EOF'
-import json
-best, score = None, float("-inf")
-try:
-    for line in open("runs_tuner/ppg_procmaze_study.log"):
-        r = json.loads(line)
-        if r["score"] is not None and r["score"] > score:
-            best, score = r["params"], r["score"]
-except FileNotFoundError:
-    pass
-if best:
-    print(" ".join(f"--{k} {v}" for k, v in best.items()))
-EOF
-)
-echo "promoting sweep winner: $BEST"
-if [ -n "$BEST" ]; then
-  python -u scripts/ppg.py --env-id procmaze --num-levels 800 --num-envs 64 \
-    --total-timesteps 10000000 --num-aux-minibatches 16 $BEST \
-    --seed 1 --print-interval 5 > runs_mujoco/ppg_procmaze800_tuned.log 2>&1
-  echo "tuned ppg rc=$?"
-fi
 echo "TPU LANE 3C DONE"
