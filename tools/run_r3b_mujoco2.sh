@@ -16,7 +16,10 @@ run() {
   python -u "$@" >"runs_mujoco/$name.log" 2>&1
   echo "=== $name done rc=$? ==="
 }
-COMMON="--total-timesteps 2000000 --seed 1 --print-interval 20"
+# --platform cpu --num-envs 1 is how every successful dm_control RPO run
+# was launched (runs_manifest.jsonl): io_callback cannot cross the axon
+# TPU tunnel, so the bridge envs must run on the host CPU platform.
+COMMON="--platform cpu --num-envs 1 --total-timesteps 2000000 --seed 1 --print-interval 20"
 # walker-walk / cheetah-run first: they have NO RESULTS row yet, while
 # finger-spin already has an honest-partial row (640 @ 1.06M) — if wall
 # time runs out, the new-coverage runs must have happened first.
@@ -24,6 +27,6 @@ run rpo_walker_walk  scripts/rpo_continuous_action.py --env-id dm_control/walker
 run rpo_cheetah_run  scripts/rpo_continuous_action.py --env-id dm_control/cheetah-run $COMMON
 run rpo_finger_spin2 scripts/rpo_continuous_action.py --env-id dm_control/finger-spin $COMMON
 # Seed-harden the ball_in_cup-catch headline row (VERDICT weak #3 / item 7):
-run rpo_bic_s2 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch --total-timesteps 2000000 --seed 2 --print-interval 20
-run rpo_bic_s3 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch --total-timesteps 2000000 --seed 3 --print-interval 20
+run rpo_bic_s2 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch $COMMON --seed 2
+run rpo_bic_s3 scripts/rpo_continuous_action.py --env-id dm_control/ball_in_cup-catch $COMMON --seed 3
 echo "MUJOCO LANE 2 DONE"
