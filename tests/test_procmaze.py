@@ -141,3 +141,22 @@ def test_timeout_truncates():
         if bool(info["solved"]):
             pytest.skip("random walk hit the goal")
     assert bool(done)
+
+
+def test_obs_exactly_int8_representable():
+    """The PPG aux-phase stores procmaze obs as int8 (scripts/ppg.py
+    aux_store_dtype='auto'); that is only sound because every obs value is
+    exactly a small integer.  Guard the invariant the storage dtype
+    depends on (envs/procmaze.py builds ±1 pixel planes)."""
+    import numpy as np
+
+    env = ProcMaze(num_levels=8)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    obs, state = env.v_reset(keys)
+    for i in range(6):
+        o = np.asarray(obs)
+        assert np.array_equal(o, o.astype(np.int8).astype(np.float32))
+        obs, state, *_ = env.v_step(
+            jax.random.split(jax.random.PRNGKey(i), 4), state,
+            jnp.full((4,), i % 4),
+        )
