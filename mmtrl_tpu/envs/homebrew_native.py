@@ -1,0 +1,80 @@
+"""RL envs over in-repo homebrew 2600 cartridges (native/homebrew/*).
+
+The reference ships a single cartridge (SkelPlus.bin) and treats it as a
+benchmark env through ALE with a stereo-audio tap (Config.py:81-89).  The
+in-repo 2600 core is game-GENERAL; this module runs cartridges we author
+ourselves (assembled by tools/asm6502.py) through the generic RL-ABI
+adapter (native/atari/abi_env.cc: $80 score / $81 lives / $82 status).
+
+First cartridge: RALLY (native/homebrew/rally.asm) — a wall-ball game
+whose audio channel 0 continuously encodes the ball height as pitch, so
+the stereo-MFCC observation planes carry true game state, exercising the
+same multimodal pipeline as Skeleton+ (video + stereo MFCC -> (3,84,84)).
+
+The observation/step machinery is shared with the SkelPlus env
+(skeleton_native.NativeSkeletonPlus); only the C-API prefix, the reward
+(ALE-style raw score delta), and the action set (6 joystick actions, held
+level-triggered for the whole frameskip window) differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
+
+RALLY_ROM = os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "homebrew", "rally.bin"
+)
+
+
+class NativeHomebrew(NativeSkeletonPlus):
+    """Batched env over a homebrew RL-ABI cartridge.
+
+    Actions (abi_env.cc): 0 NOOP, 1 LEFT, 2 RIGHT, 3 UP, 4 DOWN, 5 FIRE.
+    Reward: raw score delta (the ALE convention); ``reward_mode="win"``
+    adds a +5 terminal bonus on reaching the game's win screen.
+    """
+
+    PREFIX = "mmtrl_abi"
+
+    def __init__(
+        self,
+        num_envs: int,
+        rom_path: str = RALLY_ROM,
+        seed: int = 0,
+        frameskip: int = 8,
+        episode_steps: int = 1500,
+        reward_mode: str = "score",
+    ):
+        src_path = rom_path.replace(".bin", ".asm")
+        if not os.path.exists(rom_path) and os.path.exists(src_path):
+            # Assemble the committed source on first use (tools/ sits next
+            # to the package when running from a checkout).
+            from tools.asm6502 import assemble_cartridge
+
+            with open(src_path) as f:
+                rom = assemble_cartridge(f.read())
+            with open(rom_path, "wb") as f:
+                f.write(rom)
+        super().__init__(
+            num_envs=num_envs,
+            rom_path=rom_path,
+            seed=seed,
+            frameskip=frameskip,
+            episode_steps=episode_steps,
+            reward_mode=reward_mode,
+        )
+
+    def _reward(self, kd, ld, win):
+        del ld
+        r = kd.astype(jnp.float32)
+        if self.reward_mode == "win":
+            r = r + 5.0 * win.astype(jnp.float32)
+        return r
+
+    @property
+    def name(self) -> str:
+        return "rally_native"

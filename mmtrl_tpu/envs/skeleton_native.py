@@ -54,34 +54,47 @@ REWARD_LIFE = 0.5  # per life point lost (a touch costs ~2-10 of 99)
 REWARD_STEP = -0.01
 
 _lib = None
+_BOUND_PREFIXES = set()
 
 
-def load_native() -> ctypes.CDLL:
+def load_native(prefix: str = "mmtrl_skel") -> ctypes.CDLL:
+    """Load (building if needed) the atari .so and bind one adapter's C API.
+
+    Both per-game adapters (skel_env.cc for the reference cartridge,
+    abi_env.cc for in-repo homebrew carts) export the same function
+    signatures under different prefixes.
+    """
     global _lib
     if _lib is None:
         if not os.path.exists(_LIB_PATH):
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
             )
-        lib = ctypes.CDLL(_LIB_PATH)
+        _lib = ctypes.CDLL(_LIB_PATH)
+    if prefix not in _BOUND_PREFIXES:
+        lib = _lib
         ptr = np.ctypeslib.ndpointer
-        lib.mmtrl_skel_make.restype = ctypes.c_int64
-        lib.mmtrl_skel_make.argtypes = [
+
+        def fn(name):
+            return getattr(lib, f"{prefix}_{name}")
+
+        fn("make").restype = ctypes.c_int64
+        fn("make").argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_uint64,
             ctypes.c_int32, ctypes.c_int32,
         ]
-        lib.mmtrl_skel_shape.restype = ctypes.c_int32
-        lib.mmtrl_skel_shape.argtypes = [ctypes.c_int64] + [
+        fn("shape").restype = ctypes.c_int32
+        fn("shape").argtypes = [ctypes.c_int64] + [
             ctypes.POINTER(ctypes.c_int32)
         ] * 4
-        lib.mmtrl_skel_reset.restype = None
-        lib.mmtrl_skel_reset.argtypes = [
+        fn("reset").restype = None
+        fn("reset").argtypes = [
             ctypes.c_int64,
             ptr(np.uint8, flags="C_CONTIGUOUS"),
             ptr(np.float32, flags="C_CONTIGUOUS"),
         ]
-        lib.mmtrl_skel_step.restype = None
-        lib.mmtrl_skel_step.argtypes = [
+        fn("step").restype = None
+        fn("step").argtypes = [
             ctypes.c_int64,
             ptr(np.int32, flags="C_CONTIGUOUS"),
             ptr(np.uint8, flags="C_CONTIGUOUS"),
@@ -93,14 +106,14 @@ def load_native() -> ctypes.CDLL:
             ptr(np.int32, flags="C_CONTIGUOUS"),
             ptr(np.int32, flags="C_CONTIGUOUS"),
         ]
-        lib.mmtrl_skel_ram.restype = None
-        lib.mmtrl_skel_ram.argtypes = [
+        fn("ram").restype = None
+        fn("ram").argtypes = [
             ctypes.c_int64,
             ptr(np.uint8, flags="C_CONTIGUOUS"),
         ]
-        lib.mmtrl_skel_close.restype = None
-        lib.mmtrl_skel_close.argtypes = [ctypes.c_int64]
-        _lib = lib
+        fn("close").restype = None
+        fn("close").argtypes = [ctypes.c_int64]
+        _BOUND_PREFIXES.add(prefix)
     return _lib
 
 
@@ -139,6 +152,11 @@ class NativeSkeletonPlus:
     env_state is a placeholder step counter.
     """
 
+    PREFIX = "mmtrl_skel"
+
+    def _fn(self, name: str):
+        return getattr(self._lib, f"{self.PREFIX}_{name}")
+
     def __init__(
         self,
         num_envs: int,
@@ -149,13 +167,13 @@ class NativeSkeletonPlus:
         reward_mode: str = "shaped",
     ):
         if not os.path.exists(rom_path):
-            raise FileNotFoundError(f"SkelPlus ROM not found at {rom_path!r}")
+            raise FileNotFoundError(f"ROM not found at {rom_path!r}")
         self.num_envs = num_envs
         self.frameskip = frameskip
         self.reward_mode = reward_mode
-        self._lib = load_native()
+        self._lib = load_native(self.PREFIX)
         self._handle = int(
-            self._lib.mmtrl_skel_make(
+            self._fn("make")(
                 rom_path.encode(), num_envs, seed, frameskip,
                 episode_steps * frameskip,
             )
@@ -166,7 +184,7 @@ class NativeSkeletonPlus:
         w = ctypes.c_int32()
         alen = ctypes.c_int32()
         nact = ctypes.c_int32()
-        self._lib.mmtrl_skel_shape(
+        self._fn("shape")(
             self._handle, ctypes.byref(h), ctypes.byref(w),
             ctypes.byref(alen), ctypes.byref(nact),
         )
@@ -189,7 +207,7 @@ class NativeSkeletonPlus:
     def _host_reset(self) -> Tuple[np.ndarray, np.ndarray]:
         frames = np.zeros((self.num_envs, FRAME_H, FRAME_W), np.uint8)
         audio = np.zeros((self.num_envs, 2, self.audio_len), np.float32)
-        self._lib.mmtrl_skel_reset(self._handle, frames, audio)
+        self._fn("reset")(self._handle, frames, audio)
         return frames, audio
 
     def _host_step(self, actions: np.ndarray):
@@ -203,7 +221,7 @@ class NativeSkeletonPlus:
         win = np.zeros(n, np.uint8)
         kills = np.zeros(n, np.int32)
         life = np.zeros(n, np.int32)
-        self._lib.mmtrl_skel_step(
+        self._fn("step")(
             self._handle, actions, frames, audio, kd, ld, done, win, kills,
             life,
         )
@@ -211,12 +229,12 @@ class NativeSkeletonPlus:
 
     def ram(self) -> np.ndarray:
         out = np.zeros((self.num_envs, 128), np.uint8)
-        self._lib.mmtrl_skel_ram(self._handle, out)
+        self._fn("ram")(self._handle, out)
         return out
 
     def close(self):
         if self._handle > 0:
-            self._lib.mmtrl_skel_close(self._handle)
+            self._fn("close")(self._handle)
             self._handle = 0
 
     # ---- device-side observation synthesis -------------------------------

@@ -45,5 +45,21 @@ int main(int argc, char** argv) {
       "audio: %zu samples/ch, left nonzero=%d mean=%.2f, right nonzero=%d mean=%.2f\n",
       l.size(), lnz, l.empty() ? 0.0 : (double)lsum / l.size(), rnz,
       r.empty() ? 0.0 : (double)rsum / r.size());
+
+  if (argc > 3 && std::atoi(argv[3]) != 0) {
+    // ASCII dump of the last completed frame (every 2nd row/col) + zero page.
+    const auto& fr = m.video().frame();
+    std::printf("frame height: %zu lines\n", fr.size());
+    for (size_t y = 0; y < fr.size(); y += 3) {
+      for (int x = 0; x < 160; x += 2) {
+        uint8_t v = fr[y][x];
+        std::putchar(v == 0 ? '.' : (v < 32 ? '+' : '#'));
+      }
+      std::printf("  %3zu\n", y);
+    }
+    std::printf("zero page ($80-$8F):");
+    for (int i = 0; i < 16; ++i) std::printf(" %02X", m.riot().ram[i]);
+    std::printf("\n");
+  }
   return 0;
 }

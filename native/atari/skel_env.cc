@@ -29,20 +29,17 @@
 // frameskip window of TIA stereo samples (2 per scanline, ~31.44 kHz).
 
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <map>
 #include <mutex>
 #include <thread>
 #include <vector>
 
-#include "machine2600.h"
+#include "env_common.h"
 
 namespace {
 
-constexpr int kFrameH = 192;
-constexpr int kFrameW = 160;
-constexpr int kSamplesPerFrame = 2 * 262;  // per channel
+using namespace mmtrl::envcommon;
 
 // Zero-page addresses minus 0x80 (RIOT RAM offsets).
 constexpr int kLifeTens = 0x34, kLifeOnes = 0x36;
@@ -70,14 +67,6 @@ struct SkelEnv {
 
   ~SkelEnv() { delete m; }
 
-  uint64_t next_rand() {  // splitmix64
-    rng += 0x9E3779B97F4A7C15ull;
-    uint64_t z = rng;
-    z = (z ^ (z >> 30)) * 0xBF58476D1CE4595Bull;
-    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
-    return z ^ (z >> 31);
-  }
-
   int read_counter(int tens, int ones, int fallback) const {
     int t = decode_digit(m->riot().ram[tens]);
     int o = decode_digit(m->riot().ram[ones]);
@@ -100,12 +89,7 @@ struct SkelEnv {
     // console switches until the player presses them; a cold boot plus the
     // RESET switch is the reliable path and matches ALE's reset_game()).
     delete m;
-    m = new mmtrl::Machine2600(rom.data(), rom.size());
-    m->run_frames(2 + (int)(next_rand() % 29));  // stochastic start offset
-    m->riot().swchb = 0x0A;  // press GAME RESET
-    m->run_frames(4);
-    m->riot().swchb = 0x0B;
-    m->run_frames(2);
+    m = boot_machine(rom, &rng);
     audio_cursor = m->audio_left().size();
     kills = read_counter(kKillTens, kKillOnes, 0);
     life = read_counter(kLifeTens, kLifeOnes, 99);
@@ -136,28 +120,6 @@ uint8_t action_bits(int32_t a) {
   }
 }
 
-void apply_input(mmtrl::Machine2600* m, uint8_t bits) {
-  uint8_t swcha = 0xFF;
-  if (bits & 0x01) swcha &= ~0x10;
-  if (bits & 0x02) swcha &= ~0x20;
-  if (bits & 0x04) swcha &= ~0x40;
-  if (bits & 0x08) swcha &= ~0x80;
-  m->riot().swcha = swcha;
-  m->fire[0] = (bits & 0x10) != 0;
-}
-
-void copy_frame_max(mmtrl::Machine2600* m, uint8_t* prev, uint8_t* out) {
-  const auto& fr = m->video().frame();
-  int h = (int)fr.size() < kFrameH ? (int)fr.size() : kFrameH;
-  for (int y = 0; y < h; ++y)
-    for (int x = 0; x < kFrameW; ++x) {
-      uint8_t v = fr[y][x];
-      out[y * kFrameW + x] = v > prev[y * kFrameW + x]
-                                 ? v
-                                 : prev[y * kFrameW + x];
-    }
-}
-
 void step_one(SkelPool* pool, SkelEnv* e, int32_t action, uint8_t* frame_out,
               float* audio_out, int32_t* kills_delta, int32_t* life_delta,
               uint8_t* done, uint8_t* win, int32_t* kills_abs,
@@ -182,17 +144,8 @@ void step_one(SkelPool* pool, SkelEnv* e, int32_t action, uint8_t* frame_out,
   copy_frame_max(e->m, prev.data(), frame_out);
 
   // audio: last fs frames' worth of samples per channel
-  const auto& l = e->m->audio_left();
-  const auto& r = e->m->audio_right();
   const int want = kSamplesPerFrame * fs;
-  size_t start = e->audio_cursor;
-  for (int i = 0; i < want; ++i) {
-    size_t idx = start + i;
-    audio_out[i] = idx < l.size() ? l[idx] / 15.0f : 0.0f;
-    audio_out[want + i] = idx < r.size() ? r[idx] / 15.0f : 0.0f;
-  }
-  e->m->consume_audio(l.size());
-  e->audio_cursor = 0;
+  drain_audio(e->m, &e->audio_cursor, want, audio_out);
   e->frames_in_episode += fs;
 
   int new_kills = e->read_counter(kKillTens, kKillOnes, e->kills);
@@ -228,13 +181,8 @@ extern "C" {
 
 int64_t mmtrl_skel_make(const char* rom_path, int32_t num_envs, uint64_t seed,
                         int32_t frameskip, int32_t episode_frame_cap) {
-  FILE* f = std::fopen(rom_path, "rb");
-  if (!f) return -1;
   std::vector<uint8_t> rom;
-  int ch;
-  while ((ch = std::fgetc(f)) != EOF) rom.push_back((uint8_t)ch);
-  std::fclose(f);
-  if (rom.empty() || (rom.size() & (rom.size() - 1)) != 0) return -1;
+  if (!read_rom_file(rom_path, &rom)) return -1;
 
   auto* pool = new SkelPool();
   pool->frameskip = frameskip < 3 ? 3 : frameskip;

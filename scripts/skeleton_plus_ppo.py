@@ -52,8 +52,15 @@ class Args(BasePPOArgs):
 def main(args=None):
     args = args or cli(Args)
     if args.backend == "native":
+        # env_id may name any native-backed cartridge env (rally_native via
+        # scripts/rally_ppo.py); the bare sim id maps to the SkelPlus ROM.
+        native_key = (
+            args.env_id
+            if args.env_id.endswith("_native")
+            else "skeleton_plus_native"
+        )
         env = make(
-            "skeleton_plus_native",
+            native_key,
             num_envs=args.num_envs,
             rom_path=args.rom_path,
             seed=args.seed,
