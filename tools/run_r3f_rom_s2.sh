@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-3 lane 6: ROM Skeleton+ seed 2 (same config as the seed-1 headline
+# lane), chained behind the RALLY lane (/tmp/r3e_rally.pid) so at most ~3
+# host env-stepping processes share the single core (concurrent: the ROM
+# seed-1 lane finishing its 6M budget + the tail of the rpo_bic lane).
+#
+# Seed-hardens the ROM-native benchmark row (round-2 VERDICT weak #3: "no
+# headline row with n=1" — names the eventual ROM run explicitly). 6M will
+# not finish inside round 3; the preservation loop below keeps the newest
+# Orbax checkpoint in the TRACKED path runs_mujoco/ckpt_rom_s2 so round 4
+# resumes it (same pattern as tools/resume_rom.sh for seed 1).
+#
+# Launch detached:
+#   setsid nohup bash tools/run_r3f_rom_s2.sh > runs_mujoco/r3f_rom_s2_lane.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs_mujoco saved_agents
+if [ -f /tmp/r3e_rally.pid ]; then
+  while kill -0 "$(cat /tmp/r3e_rally.pid)" 2>/dev/null; do sleep 60; done
+fi
+
+# Per-lane checkpoint preservation (tools/preserve_ckpt.sh watches seed 1).
+(
+  while true; do
+    SRC=$(ls -dt saved_agents/skeleton_plus_native__skel_rom_s2__* 2>/dev/null | head -1)
+    if [ -n "${SRC:-}" ] && [ -f "$SRC/_CHECKPOINT_METADATA" ]; then
+      age=$(( $(date +%s) - $(stat -c %Y "$SRC/_CHECKPOINT_METADATA") ))
+      if [ "$age" -gt 60 ]; then
+        rm -rf runs_mujoco/ckpt_rom_s2.tmp \
+          && cp -a "$SRC" runs_mujoco/ckpt_rom_s2.tmp \
+          && rm -rf runs_mujoco/ckpt_rom_s2 \
+          && mv runs_mujoco/ckpt_rom_s2.tmp runs_mujoco/ckpt_rom_s2
+      fi
+    fi
+    sleep 300
+  done
+) &
+PRESERVE_PID=$!
+
+LOAD=""
+if [ -f runs_mujoco/ckpt_rom_s2/_CHECKPOINT_METADATA ]; then
+  LOAD="--load-from runs_mujoco/ckpt_rom_s2"
+  echo "resuming ROM seed-2 lane from runs_mujoco/ckpt_rom_s2"
+fi
+echo "=== skel_rom_s2: 6M budget, seed 2 ==="
+python -u scripts/skeleton_plus_ppo.py --backend native --host-loop \
+  --num-envs 32 --num-steps 64 --total-timesteps 6000000 \
+  --num-minibatches 4 --update-epochs 4 --learning-rate 2.5e-4 \
+  --target-kl 0.03 --gamma 0.95 --clip-rewards False --conv-size small \
+  --attn-type casl --save-interval 40 --save-dir saved_agents \
+  --eval-steps 6000 --print-interval 4 --exp-name skel_rom_s2 --seed 2 \
+  $LOAD >> runs_mujoco/skel_rom_s2.log 2>&1
+echo "rom seed2 rc=$?"
+kill "$PRESERVE_PID" 2>/dev/null
+echo "ROM SEED2 LANE DONE"
