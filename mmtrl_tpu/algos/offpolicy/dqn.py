@@ -56,6 +56,33 @@ class DQNTrainState(TrainState):
     target_params: Optional[dict] = None
 
 
+def dqn_td_update(model, gamma: float, ts: DQNTrainState, batch, weights=None):
+    """One TD update (MSE vs target-network max-Q bootstrap) — the jitted
+    update of the reference's dqn_atari_jax.py:186-199.  Shared by the
+    fused device path (make_dqn) and the host-loop ROM path
+    (hostloop_dqn.py) so the math cannot diverge between modes."""
+    q_next = model.apply(ts.target_params, batch["next_obs"])  # (B, A)
+    td_target = batch["reward"] + gamma * (1.0 - batch["done"]) * q_next.max(
+        axis=-1
+    )
+
+    def loss_fn(params):
+        q = model.apply(params, batch["obs"])
+        q_a = jnp.take_along_axis(
+            q, batch["action"][:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        td_error = q_a - td_target
+        per_sample = td_error**2
+        if weights is not None:  # PER importance-sampling correction
+            per_sample = per_sample * weights
+        return per_sample.mean(), (q_a.mean(), jnp.abs(td_error))
+
+    (loss, (q_mean, td_abs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(ts.params)
+    return ts.apply_gradients(grads=grads), loss, q_mean, td_abs
+
+
 def make_dqn(env: Environment, model, cfg: DQNConfig):
     def init_runner(key: jax.Array) -> OffPolicyRunner:
         key, k_env, k_model = jax.random.split(key, 3)
@@ -91,26 +118,7 @@ def make_dqn(env: Environment, model, cfg: DQNConfig):
         )
 
     def td_update(ts: DQNTrainState, batch, weights=None):
-        q_next = model.apply(ts.target_params, batch["next_obs"])  # (B, A)
-        td_target = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * q_next.max(
-            axis=-1
-        )
-
-        def loss_fn(params):
-            q = model.apply(params, batch["obs"])
-            q_a = jnp.take_along_axis(
-                q, batch["action"][:, None].astype(jnp.int32), axis=-1
-            )[:, 0]
-            td_error = q_a - td_target
-            per_sample = td_error**2
-            if weights is not None:  # PER importance-sampling correction
-                per_sample = per_sample * weights
-            return per_sample.mean(), (q_a.mean(), jnp.abs(td_error))
-
-        (loss, (q_mean, td_abs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(ts.params)
-        return ts.apply_gradients(grads=grads), loss, q_mean, td_abs
+        return dqn_td_update(model, cfg.gamma, ts, batch, weights)
 
     def step_fn(runner: OffPolicyRunner, _):
         key, k_eps, k_act, k_step, k_sample = jax.random.split(runner.key, 5)
