@@ -1,14 +1,15 @@
 #!/bin/bash
-# Round-3 lane 6: ROM Skeleton+ seed 2 (same config as the seed-1 headline
-# lane), chained behind the RALLY lane (/tmp/r3e_rally.pid) so at most ~3
-# host env-stepping processes share the single core (concurrent: the ROM
-# seed-1 lane finishing its 6M budget + the tail of the rpo_bic lane).
-#
-# Seed-hardens the ROM-native benchmark row (round-2 VERDICT weak #3: "no
-# headline row with n=1" — names the eventual ROM run explicitly). 6M will
-# not finish inside round 3; the preservation loop below keeps the newest
-# Orbax checkpoint in the TRACKED path runs_mujoco/ckpt_rom_s2 so round 4
-# resumes it (same pattern as tools/resume_rom.sh for seed 1).
+# Round-3 lane 6 (v2): chained behind the RALLY PPO lane (/tmp/r3e_rally.pid).
+# 1) DQN on the RALLY cartridge — the reference's dqn_atari leg trained on
+#    a REAL ROM (scripts/dqn_rom.py, host-loop DQN with int8 device replay).
+#    Scripted ball-tracker scores >=3/episode, random ~0
+#    (tests/test_rally_rom.py): a greedy eval in/above that band is the
+#    learning evidence.
+# 2) ROM Skeleton+ seed 2 (same config as the seed-1 headline lane) for the
+#    rest of the round — seed-hardens the ROM row (round-2 VERDICT weak #3);
+#    6M won't finish in-round, so the preservation loop keeps the newest
+#    Orbax checkpoint in TRACKED runs_mujoco/ckpt_rom_s2 for a round-4
+#    resume (same pattern as tools/resume_rom.sh).
 #
 # Launch detached:
 #   setsid nohup bash tools/run_r3f_rom_s2.sh > runs_mujoco/r3f_rom_s2_lane.log 2>&1 &
@@ -18,6 +19,15 @@ mkdir -p runs_mujoco saved_agents
 if [ -f /tmp/r3e_rally.pid ]; then
   while kill -0 "$(cat /tmp/r3e_rally.pid)" 2>/dev/null; do sleep 60; done
 fi
+
+echo "=== dqn_rally_s1: 1M steps, host-loop DQN, native cartridge ==="
+python -u scripts/dqn_rom.py --env-id rally_native --num-envs 8 \
+  --total-timesteps 1000000 --buffer-size 100000 --batch-size 128 \
+  --learning-rate 1e-4 --train-frequency 2 --target-network-frequency 125 \
+  --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
+  --eval-steps 6000 --print-interval 1 --exp-name dqn_rally_s1 --seed 1 \
+  > runs_mujoco/dqn_rally_s1.log 2>&1
+echo "=== dqn rally done rc=$? ==="
 
 # Per-lane checkpoint preservation (tools/preserve_ckpt.sh watches seed 1).
 (
