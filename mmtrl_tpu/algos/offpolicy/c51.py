@@ -71,6 +71,39 @@ def categorical_projection(
     ).sum(0)
 
 
+def c51_td_update(model, atoms: jnp.ndarray, gamma: float, ts: DQNTrainState, batch):
+    """One categorical TD step (projection + cross-entropy) — shared by the
+    fused device path (make_c51) and the host-loop ROM path
+    (hostloop_dqn.py with the C51 hooks), so the math cannot diverge.
+    Returns ``(ts, loss, q_mean)``; ``atoms`` is the fixed support."""
+    n_atoms = atoms.shape[0]
+    # Scalars, not float(): under a lax.cond branch trace (the host loop's
+    # cadenced update) closed-over arrays are abstract; the projection only
+    # uses the bounds arithmetically, so traced scalars are fine.
+    v_min, v_max = atoms[0], atoms[-1]
+    next_pmfs = model.apply(ts.target_params, batch["next_obs"])  # (B, A, N)
+    next_q = (next_pmfs * atoms).sum(axis=-1)
+    best = jnp.argmax(next_q, axis=-1)
+    next_pmf = jnp.take_along_axis(next_pmfs, best[:, None, None], axis=1)[:, 0]
+    target_pmf = jax.vmap(
+        lambda r, d, p: categorical_projection(
+            r, d, p, atoms, gamma, v_min, v_max, n_atoms
+        )
+    )(batch["reward"], batch["done"], next_pmf)
+
+    def loss_fn(params):
+        pmfs = model.apply(params, batch["obs"])
+        pmf_a = jnp.take_along_axis(
+            pmfs, batch["action"][:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        loss = -(target_pmf * jnp.log(jnp.clip(pmf_a, 1e-5, 1.0))).sum(-1).mean()
+        q_a = (pmf_a * atoms).sum(-1)
+        return loss, q_a.mean()
+
+    (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+    return ts.apply_gradients(grads=grads), loss, q_mean
+
+
 def make_c51(env: Environment, model, cfg: C51Config):
     atoms = jnp.linspace(cfg.v_min, cfg.v_max, cfg.n_atoms)
 
@@ -103,29 +136,7 @@ def make_c51(env: Environment, model, cfg: C51Config):
         )
 
     def td_update(ts: DQNTrainState, batch):
-        next_pmfs = model.apply(ts.target_params, batch["next_obs"])  # (B, A, N)
-        next_q = (next_pmfs * atoms).sum(axis=-1)
-        best = jnp.argmax(next_q, axis=-1)
-        next_pmf = jnp.take_along_axis(
-            next_pmfs, best[:, None, None], axis=1
-        )[:, 0]
-        target_pmf = jax.vmap(
-            lambda r, d, p: categorical_projection(
-                r, d, p, atoms, cfg.gamma, cfg.v_min, cfg.v_max, cfg.n_atoms
-            )
-        )(batch["reward"], batch["done"], next_pmf)
-
-        def loss_fn(params):
-            pmfs = model.apply(params, batch["obs"])
-            pmf_a = jnp.take_along_axis(
-                pmfs, batch["action"][:, None, None].astype(jnp.int32), axis=1
-            )[:, 0]
-            loss = -(target_pmf * jnp.log(jnp.clip(pmf_a, 1e-5, 1.0))).sum(-1).mean()
-            q_a = (pmf_a * atoms).sum(-1)
-            return loss, q_a.mean()
-
-        (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
-        return ts.apply_gradients(grads=grads), loss, q_mean
+        return c51_td_update(model, atoms, cfg.gamma, ts, batch)
 
     def step_fn(runner: OffPolicyRunner, _):
         key, k_eps, k_act, k_step, k_sample = jax.random.split(runner.key, 5)

@@ -76,13 +76,28 @@ class DQNHostRunner:
     global_step: jnp.ndarray  # () int32, env transitions stored
 
 
-def make_dqn_hostloop(env, model, cfg: DQNConfig):
+def make_dqn_hostloop(
+    env, model, cfg: DQNConfig, greedy_fn=None, update_fn=None, tx=None
+):
     """``env`` is a NativeSkeletonPlus-like pool (``_host_reset``,
     ``_host_step``, device-side ``_obs``).  Returns ``(init_runner,
     step_fn, act_greedy)``; ``step_fn`` is the per-pool-step jitted call
-    described in the module docstring."""
+    described in the module docstring.
+
+    The value-learning algorithm is pluggable: ``greedy_fn(params, obs) ->
+    (N,) actions`` and ``update_fn(ts, batch) -> (ts, loss, q_mean)``
+    default to DQN (argmax-Q acting + ``dqn_td_update``); scripts/c51_rom.py
+    passes the C51 hooks (expected-Q over the categorical support +
+    ``c51_td_update``) to train the reference's c51_atari leg on ROMs."""
     n = env.num_envs
     obs_shape = tuple(env.observation_space.shape)
+    if greedy_fn is None:
+        def greedy_fn(params, obs):
+            return jnp.argmax(model.apply(params, obs), axis=-1)
+    if update_fn is None:
+        def update_fn(ts, batch):
+            ts, loss, q_mean, _ = dqn_td_update(model, cfg.gamma, ts, batch)
+            return ts, loss, q_mean
 
     def init_runner(key: jax.Array) -> DQNHostRunner:
         key, k_model = jax.random.split(key)
@@ -92,7 +107,7 @@ def make_dqn_hostloop(env, model, cfg: DQNConfig):
             apply_fn=model.apply,
             params=params,
             target_params=params,
-            tx=optax.adam(cfg.learning_rate),
+            tx=tx if tx is not None else optax.adam(cfg.learning_rate),
         )
         example = dict(
             obs=_quant(zeros[0]),
@@ -143,8 +158,7 @@ def make_dqn_hostloop(env, model, cfg: DQNConfig):
             cfg.exploration_fraction * cfg.total_timesteps,
             gs,
         )
-        q = model.apply(runner.train_state.params, obs)
-        greedy = jnp.argmax(q, axis=-1)
+        greedy = greedy_fn(runner.train_state.params, obs)
         random_a = jax.random.randint(
             k_rand, (n,), 0, env.num_actions, dtype=greedy.dtype
         )
@@ -162,8 +176,7 @@ def make_dqn_hostloop(env, model, cfg: DQNConfig):
                 obs=_dequant(batch["obs"]),
                 next_obs=_dequant(batch["next_obs"]),
             )
-            ts, loss, q_mean, _ = dqn_td_update(model, cfg.gamma, ts, batch)
-            return ts, loss, q_mean
+            return update_fn(ts, batch)
 
         ts, loss, q_mean = jax.lax.cond(
             should_train,
@@ -195,7 +208,7 @@ def make_dqn_hostloop(env, model, cfg: DQNConfig):
 
     def act_greedy(params, frames, audio_u8):
         obs = env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
-        return jnp.argmax(model.apply(params, obs), axis=-1)
+        return greedy_fn(params, obs)
 
     return init_runner, step_fn, act_greedy
 
@@ -207,6 +220,9 @@ def run_dqn_hostloop(
     args,
     run_name: Optional[str] = None,
     eval_steps: int = 0,
+    greedy_fn=None,
+    update_fn=None,
+    tx=None,
 ) -> dict:
     import sys as _sys
 
@@ -219,7 +235,9 @@ def run_dqn_hostloop(
     journal_run(run_name, _sys.argv, "running")
 
     n = env.num_envs
-    init_runner, step_fn, act_greedy = make_dqn_hostloop(env, model, cfg)
+    init_runner, step_fn, act_greedy = make_dqn_hostloop(
+        env, model, cfg, greedy_fn=greedy_fn, update_fn=update_fn, tx=tx
+    )
     runner = jax.jit(init_runner)(jax.random.PRNGKey(args.seed))
     step_jit = jax.jit(step_fn)
     eval_jit = jax.jit(act_greedy)

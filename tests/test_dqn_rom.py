@@ -118,3 +118,61 @@ def test_run_dqn_hostloop_end_to_end(env, tmp_path, monkeypatch):
     # episode cap is 60 env steps, so the 70-step eval closes >=1 episode
     assert result["eval_episodes"] >= 1
     assert np.isfinite(result["eval_episodic_return"])
+
+
+def test_run_c51_hostloop_end_to_end(env, tmp_path, monkeypatch):
+    """The C51 hooks (scripts/c51_rom.py) through the shared host loop:
+    expected-Q greedy acting + c51_td_update (the same function the fused
+    device path runs) on the real RALLY cartridge."""
+    import optax
+
+    from mmtrl_tpu.algos.offpolicy.c51 import c51_td_update
+    from mmtrl_tpu.models import DistributionalQNetwork
+
+    monkeypatch.setenv("MMTRL_RUN_ROOT", str(tmp_path))
+
+    class A:
+        exp_name = "c51_rom_test"
+        seed = 7
+        env_id = "rally_native"
+        print_interval = 1
+        save_interval = 0
+        save_dir = str(tmp_path)
+        track = False
+        capture_video = False
+
+    cfg = DQNConfig(
+        total_timesteps=240,
+        num_envs=env.num_envs,
+        buffer_size=256,
+        batch_size=16,
+        learning_starts=16,
+        train_frequency=1,
+        target_network_frequency=8,
+    )
+    n_atoms = 11
+    model = DistributionalQNetwork(
+        num_actions=env.num_actions, n_atoms=n_atoms, input_scale=1.0
+    )
+    atoms = jnp.linspace(-10.0, 10.0, n_atoms)
+
+    def greedy_fn(params, obs):
+        pmfs = model.apply(params, obs)
+        return jnp.argmax((pmfs * atoms).sum(axis=-1), axis=-1)
+
+    def update_fn(ts, batch):
+        return c51_td_update(model, atoms, cfg.gamma, ts, batch)
+
+    result = run_dqn_hostloop(
+        env,
+        model,
+        cfg,
+        A(),
+        eval_steps=70,
+        greedy_fn=greedy_fn,
+        update_fn=update_fn,
+        tx=optax.adam(2.5e-4, eps=0.01 / cfg.batch_size),
+    )
+    assert result["global_step"] >= 240
+    assert result["eval_episodes"] >= 1
+    assert np.isfinite(result["eval_episodic_return"])
