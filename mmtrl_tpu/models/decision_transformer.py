@@ -49,6 +49,11 @@ class DTConfig:
     conv_type: str = "big"
     fusion_type: str = "sum"
     compute_dtype: str = "bfloat16"
+    # Rematerialize block activations in the backward (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(n_layers) less activation HBM —
+    # the lever for long contexts / deep stacks. Param tree is unchanged
+    # (checkpoint-compatible either way).
+    remat: bool = False
 
     @property
     def seq_len(self) -> int:
@@ -186,8 +191,11 @@ class DecisionTransformer(nn.Module):
         ).reshape(B, 3 * K, cfg.d_model)
         x = nn.Dropout(cfg.dropout)(tokens, deterministic=deterministic)
 
+        block_cls = (
+            nn.remat(Block, static_argnums=(2,)) if cfg.remat else Block
+        )
         for i in range(cfg.n_layers):
-            x = Block(cfg, name=f"block_{i}")(x, deterministic)
+            x = block_cls(cfg, name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
 
         state_tokens = x[:, 1::3]  # outputs at state positions

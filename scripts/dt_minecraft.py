@@ -42,6 +42,7 @@ class Args:
     n_layers: int = field(6, "transformer depth")
     n_heads: int = field(4, "attention heads (head_dim = d_model/n_heads)")
     dropout: float = field(0.1, "dropout rate")
+    remat: bool = field(False, "rematerialize block activations (jax.checkpoint): ~1 extra fwd of FLOPs for O(n_layers) less activation HBM")
     max_timestep: int = field(64, "timestep embedding table size (> max episode len)")
     batch_size: int = field(64, "training batch size")
     learning_rate: float = field(6e-4, "peak learning rate")
@@ -126,6 +127,7 @@ def main(args=None):
         n_heads=args.n_heads,
         dropout=args.dropout,
         max_timestep=args.max_timestep,
+        remat=args.remat,
     )
     train_cfg = DTTrainConfig(
         learning_rate=args.learning_rate,

@@ -113,6 +113,45 @@ def test_dt_forward_shape_and_causality():
     )
 
 
+def test_dt_remat_matches_no_remat():
+    """cfg.remat=True (jax.checkpoint on the blocks) is numerically the
+    same program — identical param tree, forward, loss, and grads — just
+    with activations rematerialized in the backward."""
+    import dataclasses
+
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    key = jax.random.PRNGKey(2)
+    rtg, states, actions, ts, _ = tiny_batch(key)
+    model = DecisionTransformer(TINY)
+    model_r = DecisionTransformer(cfg_r)
+    params = model.init(key, rtg, states, actions, ts)
+    # Same parameter structure => checkpoints are interchangeable.
+    assert jax.tree_util.tree_structure(
+        params
+    ) == jax.tree_util.tree_structure(model_r.init(key, rtg, states, actions, ts))
+
+    def loss(m):
+        def f(p):
+            lg = m.apply(p, rtg, states, actions, ts)
+            return (
+                -jax.nn.log_softmax(lg)
+                * jax.nn.one_hot(actions, TINY.num_actions)
+            ).sum()
+
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(model_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g0,
+        g1,
+    )
+
+
 def test_dt_overfits_tiny_batch():
     key = jax.random.PRNGKey(0)
     batch = tiny_batch(key)
