@@ -78,15 +78,21 @@ def make_dt_train_step(model_cfg: DTConfig):
         )
 
         def loss_fn(params):
-            logits = model.apply(
-                params,
-                rtg,
-                states,
-                actions,
-                timesteps,
-                deterministic=False,
-                rngs={"dropout": dropout_key},
-            )
+            apply_kw = dict(deterministic=False, rngs={"dropout": dropout_key})
+            if model_cfg.moe_experts:
+                # MoE routers sow their load-balance aux under
+                # intermediates/moe_aux (models/moe.py); average over blocks.
+                logits, muts = model.apply(
+                    params, rtg, states, actions, timesteps,
+                    mutable=["intermediates"], **apply_kw,
+                )
+                aux_leaves = jax.tree_util.tree_leaves(muts["intermediates"])
+                moe_aux = sum(aux_leaves) / max(len(aux_leaves), 1)
+            else:
+                logits = model.apply(
+                    params, rtg, states, actions, timesteps, **apply_kw
+                )
+                moe_aux = jnp.float32(0.0)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(
                 logp, actions[..., None].astype(jnp.int32), axis=-1
@@ -97,11 +103,18 @@ def make_dt_train_step(model_cfg: DTConfig):
                 ((jnp.argmax(logits, -1) == actions) * m).sum()
                 / jnp.maximum(m.sum(), 1.0)
             )
-            return loss, acc
+            if model_cfg.moe_experts:
+                loss = loss + model_cfg.moe_aux_coef * moe_aux
+            return loss, (acc, moe_aux)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (acc, moe_aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         state = state.apply_gradients(grads=grads)
-        return state, {"dt/loss": loss, "dt/action_accuracy": acc}
+        metrics = {"dt/loss": loss, "dt/action_accuracy": acc}
+        if model_cfg.moe_experts:
+            metrics["dt/moe_aux"] = moe_aux
+        return state, metrics
 
     return train_step
 

@@ -54,6 +54,14 @@ class DTConfig:
     # the lever for long contexts / deep stacks. Param tree is unchanged
     # (checkpoint-compatible either way).
     remat: bool = False
+    # Mixture-of-experts FFN (models/moe.py): 0 = dense FFN (default, param
+    # tree unchanged). >0 swaps every block's FFN for a top-k gated MoE with
+    # that many experts — the expert-parallel (ep) scaling axis
+    # (parallel/expert.py). The router's load-balance aux loss is sown under
+    # intermediates/moe_aux and added by the trainer at moe_aux_coef.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_aux_coef: float = 0.01
 
     @property
     def seq_len(self) -> int:
@@ -128,15 +136,27 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + CausalSelfAttention(cfg, name="attn")(h, deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
-        h = nn.Dense(
-            cfg.mlp_ratio * cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
-            dtype=dtype, name="fc",
-        )(h)
-        h = nn.gelu(h)
-        h = nn.Dense(
-            cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype,
-            name="proj",
-        )(h)
+        if cfg.moe_experts:
+            from mmtrl_tpu.models.moe import MoEFFN
+
+            h = MoEFFN(
+                d_model=cfg.d_model,
+                d_ff=cfg.mlp_ratio * cfg.d_model,
+                num_experts=cfg.moe_experts,
+                top_k=cfg.moe_top_k,
+                dtype=dtype,
+                name="moe",
+            )(h)
+        else:
+            h = nn.Dense(
+                cfg.mlp_ratio * cfg.d_model, kernel_init=ortho(1.0),
+                bias_init=ZEROS, dtype=dtype, name="fc",
+            )(h)
+            h = nn.gelu(h)
+            h = nn.Dense(
+                cfg.d_model, kernel_init=ortho(1.0), bias_init=ZEROS,
+                dtype=dtype, name="proj",
+            )(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         return x + h
 

@@ -225,7 +225,12 @@ def main(args=None):
                 save_run(state, run_name, args.save_dir)
 
         key, k_eval = jax.random.split(key)
-        eval_pool_steps = max(1, args.eval_steps // args.collect_envs)
+        # A surviving policy only finishes episodes at the time-limit cap, so
+        # fewer than episode_steps pool iterations would record ZERO episodes
+        # (the first run of this script hit exactly that: eval/episodes=0).
+        eval_pool_steps = max(
+            args.episode_steps + 100, args.eval_steps // args.collect_envs
+        )
         results = evaluate_dt_host(
             env,
             model_cfg,

@@ -1,0 +1,144 @@
+"""Mixture-of-experts FFN (models/moe.py) and expert parallelism
+(parallel/expert.py) on the virtual 8-device CPU mesh.
+
+Exactness tests: the dense-dispatch einsum formulation must match a
+per-expert python loop, and the expert-sharded shard_map path must match
+the single-device computation (values AND gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtrl_tpu.models.decision_transformer import DecisionTransformer, DTConfig
+from mmtrl_tpu.models.moe import (
+    MoEFFN,
+    load_balance_aux,
+    moe_combine_weights,
+    moe_ffn_dense,
+)
+from mmtrl_tpu.parallel.expert import expert_parallel_moe, moe_param_specs
+from mmtrl_tpu.parallel.mesh import make_mesh
+
+
+def _loop_oracle(x, combine, w1, b1, w2, b2):
+    """Per-expert python-loop MoE: the semantic definition."""
+    B, S, D = x.shape
+    E = combine.shape[-1]
+    out = np.zeros((B, S, D), np.float32)
+    for e in range(E):
+        h = np.asarray(x) @ np.asarray(w1[e]) + np.asarray(b1[e])
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h)))
+        y = h @ np.asarray(w2[e]) + np.asarray(b2[e])
+        out += np.asarray(combine[..., e])[..., None] * y
+    return out
+
+
+def _rand_moe(key, E=4, D=8, F=16, B=2, S=6):
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (B, S, D), jnp.float32)
+    logits = jax.random.normal(ks[1], (B, S, E), jnp.float32)
+    w1 = jax.random.normal(ks[2], (E, D, F), jnp.float32) * 0.3
+    b1 = jax.random.normal(ks[3], (E, F), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[4], (E, F, D), jnp.float32) * 0.3
+    b2 = jax.random.normal(ks[5], (E, D), jnp.float32) * 0.1
+    return x, logits, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("top_k", [1, 2, 4])
+def test_dense_dispatch_matches_loop_oracle(top_k):
+    x, logits, w1, b1, w2, b2 = _rand_moe(jax.random.PRNGKey(0))
+    combine = moe_combine_weights(logits, top_k)
+    # top-k combine weights: exactly k nonzero per token, summing to 1.
+    nz = (np.asarray(combine) > 0).sum(-1)
+    assert (nz == min(top_k, combine.shape[-1])).all()
+    np.testing.assert_allclose(np.asarray(combine.sum(-1)), 1.0, rtol=1e-5)
+
+    got = moe_ffn_dense(x, combine, w1, b1, w2, b2)
+    want = _loop_oracle(x, combine, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_expert_parallel_matches_dense_values_and_grads():
+    mesh = make_mesh((4,), ("expert",), devices=jax.devices()[:4])
+    x, logits, w1, b1, w2, b2 = _rand_moe(jax.random.PRNGKey(1))
+    combine = moe_combine_weights(logits, 2)
+
+    def dense_loss(params):
+        w1, b1, w2, b2 = params
+        return (moe_ffn_dense(x, combine, w1, b1, w2, b2) ** 2).mean()
+
+    def ep_loss(params):
+        w1, b1, w2, b2 = params
+        return (
+            expert_parallel_moe(x, combine, w1, b1, w2, b2, mesh) ** 2
+        ).mean()
+
+    params = (w1, b1, w2, b2)
+    v_d, g_d = jax.value_and_grad(dense_loss)(params)
+    v_e, g_e = jax.jit(jax.value_and_grad(ep_loss))(params)
+    np.testing.assert_allclose(float(v_e), float(v_d), rtol=1e-6)
+    for gd, ge in zip(g_d, g_e):
+        np.testing.assert_allclose(
+            np.asarray(ge), np.asarray(gd), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_moe_param_specs_shard_expert_axis():
+    model = MoEFFN(d_model=8, d_ff=16, num_experts=4, top_k=2)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 8), jnp.float32)
+    )["params"]
+    specs = moe_param_specs(params)
+    assert specs["experts_w1"][0] == "expert"
+    assert specs["experts_b2"][0] == "expert"
+    assert specs["gate"]["kernel"] == jax.sharding.PartitionSpec()
+
+
+def test_load_balance_aux_is_one_when_balanced():
+    # Uniform router: every expert gets equal probability and dispatch.
+    E = 4
+    probs = jnp.full((3, 5, E), 1.0 / E)
+    combine = jnp.full((3, 5, E), 1.0 / E)
+    assert abs(float(load_balance_aux(probs, combine)) - 1.0) < 1e-6
+    # Collapsed router: all mass on expert 0 -> aux == E.
+    probs = jnp.zeros((3, 5, E)).at[..., 0].set(1.0)
+    assert abs(float(load_balance_aux(probs, probs)) - E) < 1e-6
+
+
+def test_dt_with_moe_trains_and_default_tree_unchanged():
+    from mmtrl_tpu.algos.dt import DTTrainConfig, create_dt_state, make_dt_train_step
+
+    B, K = 4, 4
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    states = jax.random.normal(ks[0], (B, K, 2, 84, 84), jnp.float32)
+    rtg = jax.random.uniform(ks[1], (B, K))
+    actions = jax.random.randint(ks[2], (B, K), 0, 4)
+    timesteps = jnp.tile(jnp.arange(K, dtype=jnp.int32), (B, 1))
+    mask = jnp.ones((B, K), bool)
+    batch = (rtg, states, actions, timesteps, mask)
+
+    base = dict(
+        num_actions=4, context_len=K, d_model=32, n_layers=2, n_heads=2,
+        dropout=0.0, max_timestep=16, compute_dtype="float32",
+    )
+    # Default config: no 'moe' collection in the tree (checkpoint compat).
+    cfg0 = DTConfig(**base)
+    p0 = DecisionTransformer(cfg0).init(
+        key, rtg, states, actions, timesteps, deterministic=True
+    )
+    assert not any(
+        "moe" in jax.tree_util.keystr(path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(p0)
+    )
+
+    cfg = DTConfig(**base, moe_experts=4, moe_top_k=2)
+    tcfg = DTTrainConfig(batch_size=B, total_steps=8, warmup_steps=2)
+    state = create_dt_state(key, cfg, tcfg, batch)
+    step = jax.jit(make_dt_train_step(cfg))
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["dt/loss"]))
+    aux = float(metrics["dt/moe_aux"])
+    assert np.isfinite(aux) and 0.9 <= aux <= cfg.moe_experts + 1e-3
