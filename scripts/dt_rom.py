@@ -65,6 +65,8 @@ class Args:
     dropout: float = field(0.1, "dropout rate")
     max_timestep: int = field(2048, "timestep embedding table size (> episode cap)")
     remat: bool = field(False, "rematerialize block activations")
+    moe_experts: int = field(0, "MoE FFN experts per block (0: dense FFN)")
+    moe_top_k: int = field(2, "MoE router top-k")
     learning_rate: float = field(6e-4, "peak LR")
     warmup_steps: int = field(512, "LR warmup steps")
     total_steps: int = field(15000, "offline training steps")
@@ -181,6 +183,8 @@ def main(args=None):
             dropout=args.dropout,
             max_timestep=args.max_timestep,
             remat=args.remat,
+            moe_experts=args.moe_experts,
+            moe_top_k=args.moe_top_k,
         )
         train_cfg = DTTrainConfig(
             learning_rate=args.learning_rate,
