@@ -55,11 +55,23 @@ class _SpecEnv:
 
 
 def _shaped_reward_np(env, kd, ld, win):
-    """Host mirror of NativeSkeletonPlus._reward (envs/skeleton_native.py)."""
-    from mmtrl_tpu.envs import skeleton_native as sn
+    """Host-numpy mirror of env._reward (tiny per-step arrays; a jnp call
+    here would dispatch to the remote device every pool step).
 
+    Dispatch is by reward_mode, whose names are disjoint across the native
+    env classes: 'shaped'/'kills' belong to NativeSkeletonPlus
+    (envs/skeleton_native.py:264), 'score'/'win' to the homebrew RL-ABI
+    envs (envs/homebrew_native.py: raw ALE-style score delta).
+    tests/test_brick_rom.py::test_hostloop_reward_mirror pins equality.
+    """
     if env.reward_mode == "kills":
         return kd.astype(np.float32)
+    if env.reward_mode == "score":
+        return kd.astype(np.float32)
+    if env.reward_mode == "win":
+        return kd.astype(np.float32) + 5.0 * win.astype(np.float32)
+    from mmtrl_tpu.envs import skeleton_native as sn
+
     return (
         sn.REWARD_KILL * kd.astype(np.float32)
         + sn.REWARD_LIFE * ld.astype(np.float32)

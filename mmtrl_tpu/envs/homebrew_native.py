@@ -6,10 +6,15 @@ in-repo 2600 core is game-GENERAL; this module runs cartridges we author
 ourselves (assembled by tools/asm6502.py) through the generic RL-ABI
 adapter (native/atari/abi_env.cc: $80 score / $81 lives / $82 status).
 
-First cartridge: RALLY (native/homebrew/rally.asm) — a wall-ball game
-whose audio channel 0 continuously encodes the ball height as pitch, so
-the stereo-MFCC observation planes carry true game state, exercising the
-same multimodal pipeline as Skeleton+ (video + stereo MFCC -> (3,84,84)).
+Cartridges:
+- RALLY (native/homebrew/rally.asm) — a wall-ball game whose audio
+  channel 0 continuously encodes the ball height as pitch, so the
+  stereo-MFCC observation planes carry true game state, exercising the
+  same multimodal pipeline as Skeleton+ (video + stereo MFCC -> (3,84,84)).
+- BRICK (native/homebrew/brick.asm) — a Breakout-class game (4x16
+  destructible brick wall in RAM-backed playfield bands, row-scored
+  +2/+1, double-speed second wall) standing in for the reference's
+  Breakout Atari leg; its brick-hit blips encode the struck ROW as pitch.
 
 The observation/step machinery is shared with the SkelPlus env
 (skeleton_native.NativeSkeletonPlus); only the C-API prefix, the reward
@@ -27,6 +32,9 @@ from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
 
 RALLY_ROM = os.path.join(
     os.path.dirname(__file__), "..", "..", "native", "homebrew", "rally.bin"
+)
+BRICK_ROM = os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "homebrew", "brick.bin"
 )
 
 
@@ -67,6 +75,7 @@ class NativeHomebrew(NativeSkeletonPlus):
             episode_steps=episode_steps,
             reward_mode=reward_mode,
         )
+        self._rom_path = rom_path
 
     def _reward(self, kd, ld, win):
         del ld
@@ -77,4 +86,12 @@ class NativeHomebrew(NativeSkeletonPlus):
 
     @property
     def name(self) -> str:
-        return "rally_native"
+        stem = os.path.splitext(os.path.basename(self._rom_path))[0]
+        return f"{stem}_native"
+
+
+class NativeBrick(NativeHomebrew):
+    """The BRICK (Breakout-class) cartridge with its ROM as the default."""
+
+    def __init__(self, num_envs: int, rom_path: str = BRICK_ROM, **kw):
+        super().__init__(num_envs=num_envs, rom_path=rom_path, **kw)

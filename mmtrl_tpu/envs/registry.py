@@ -58,11 +58,12 @@ def _populate() -> None:
     # num_envs (and optionally rom_path/frameskip/...) kwargs.
     register("skeleton_plus_native")(NativeSkeletonPlus)
 
-    from mmtrl_tpu.envs.homebrew_native import NativeHomebrew
+    from mmtrl_tpu.envs.homebrew_native import NativeBrick, NativeHomebrew
 
     # In-repo homebrew cartridges on the same native core (RL-ABI adapter,
-    # native/atari/abi_env.cc); rally is assembled from native/homebrew/.
+    # native/atari/abi_env.cc); both are assembled from native/homebrew/.
     register("rally_native")(NativeHomebrew)
+    register("brick_native")(NativeBrick)
 
     from mmtrl_tpu.envs.procmaze import ProcMaze
 

@@ -48,7 +48,7 @@ class Args:
     wandb_project_name: str = field("cleanRL", "CLI compat")
     wandb_entity: Optional[str] = field(None, "CLI compat")
     capture_video: bool = field(False, "CLI compat")
-    env_id: str = field("rally_native", "rally_native | skeleton_plus_native")
+    env_id: str = field("rally_native", "rally_native | brick_native | skeleton_plus_native")
     rom_path: str = field("", "cartridge path (default: per env-id)")
     frameskip: int = field(8, "emulator frames per env step")
     episode_steps: int = field(1500, "env-step cap per episode")
@@ -77,12 +77,17 @@ class Args:
 
 def main(args=None):
     args = args or cli(Args)
-    if args.env_id == "rally_native":
-        from mmtrl_tpu.envs.homebrew_native import RALLY_ROM, NativeHomebrew
+    if args.env_id in ("rally_native", "brick_native"):
+        from mmtrl_tpu.envs.homebrew_native import (
+            BRICK_ROM,
+            RALLY_ROM,
+            NativeHomebrew,
+        )
 
+        default_rom = BRICK_ROM if args.env_id == "brick_native" else RALLY_ROM
         env = NativeHomebrew(
             num_envs=args.num_envs,
-            rom_path=args.rom_path or RALLY_ROM,
+            rom_path=args.rom_path or default_rom,
             seed=args.seed,
             frameskip=args.frameskip,
             episode_steps=args.episode_steps,

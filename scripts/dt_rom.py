@@ -43,7 +43,7 @@ class Args:
     seed: int = field(1, "seed of the experiment")
     track: bool = field(False, "CLI compat")
     capture_video: bool = field(False, "CLI compat")
-    env_id: str = field("skeleton_plus_native", "skeleton_plus_native | rally_native")
+    env_id: str = field("skeleton_plus_native", "skeleton_plus_native | rally_native | brick_native")
     rom_path: str = field("", "cartridge path (default: per env-id)")
     frameskip: int = field(8, "emulator frames per env step")
     episode_steps: int = field(1500, "env-step cap per episode")
@@ -83,12 +83,17 @@ class Args:
 
 
 def _make_env(args):
-    if args.env_id == "rally_native":
-        from mmtrl_tpu.envs.homebrew_native import RALLY_ROM, NativeHomebrew
+    if args.env_id in ("rally_native", "brick_native"):
+        from mmtrl_tpu.envs.homebrew_native import (
+            BRICK_ROM,
+            RALLY_ROM,
+            NativeHomebrew,
+        )
 
+        default_rom = BRICK_ROM if args.env_id == "brick_native" else RALLY_ROM
         return NativeHomebrew(
             num_envs=args.collect_envs,
-            rom_path=args.rom_path or RALLY_ROM,
+            rom_path=args.rom_path or default_rom,
             seed=args.seed,
             frameskip=args.frameskip,
             episode_steps=args.episode_steps,
