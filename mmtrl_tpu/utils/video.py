@@ -40,12 +40,21 @@ def obs_to_frames(obs: np.ndarray) -> np.ndarray:
     return ((np.clip(frames, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
 
 
-def write_gif(frames_u8: np.ndarray, path: str, fps: int = 15) -> str:
-    """(T, H, W) or (T, H, W, 3) uint8 -> animated GIF at ``path``."""
+def write_gif(
+    frames_u8: np.ndarray, path: str, fps: int = 15, size=(168, 168)
+) -> str:
+    """(T, H, W) or (T, H, W, 3) uint8 -> animated GIF at ``path``.
+
+    ``size``: output (width, height); None keeps the native resolution.
+    """
     from PIL import Image
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    imgs = [Image.fromarray(f).resize((168, 168), Image.NEAREST) for f in frames_u8]
+    imgs = [
+        Image.fromarray(f) if size is None
+        else Image.fromarray(f).resize(size, Image.NEAREST)
+        for f in frames_u8
+    ]
     imgs[0].save(
         path, save_all=True, append_images=imgs[1:],
         duration=int(1000 / fps), loop=0,
