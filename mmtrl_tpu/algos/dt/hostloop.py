@@ -21,18 +21,20 @@ trained on real-cartridge data is directly comparable to the sim rows.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmtrl_tpu.algos.dt.data import TrajectoryBuffer, returns_to_go
+from mmtrl_tpu.data.quant import (
+    OBS_SCALE,
+    dequant_audio_u8,
+    quant_audio_u8,
+    quant_obs_i8,
+)
 from mmtrl_tpu.models.decision_transformer import DecisionTransformer, DTConfig
-
-
-def _quant(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(jnp.rint(x * 127.0), -127, 127).astype(jnp.int8)
 
 
 def collect_trajectories_host(
@@ -43,7 +45,7 @@ def collect_trajectories_host(
     policy_carry=None,
     state_dtype: jnp.dtype = jnp.bfloat16,
     print_every: int = 0,
-) -> TrajectoryBuffer:
+) -> Tuple[TrajectoryBuffer, Dict[str, float]]:
     """Roll a behavior policy on a native pool env.
 
     Returns ``(TrajectoryBuffer, stats)`` where stats reports the behavior
@@ -67,15 +69,15 @@ def collect_trajectories_host(
             )
 
     def act(key, frames, audio_u8, done, carry):
-        obs = env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
+        obs = env._obs(frames, dequant_audio_u8(audio_u8))
         key, k_act = jax.random.split(key)
         action, carry = policy_fn(k_act, obs, done.astype(bool), carry)
-        return key, _quant(obs.reshape(n, -1)), action, carry
+        return key, quant_obs_i8(obs.reshape(n, -1)), action, carry
 
     act_jit = jax.jit(act)
 
     frames, audio = env._host_reset()
-    audio_u8 = np.rint(audio * 15.0).astype(np.uint8)
+    audio_u8 = quant_audio_u8(audio)
     done = np.zeros(n, np.uint8)
     t_in_ep = np.zeros(n, np.int32)
 
@@ -97,7 +99,7 @@ def collect_trajectories_host(
         actions_h[t] = action
         tsteps_h[t] = t_in_ep
         frames, audio, kd, ld, done, win, _score, _life = env._host_step(action)
-        audio_u8 = np.rint(audio * 15.0).astype(np.uint8)
+        audio_u8 = quant_audio_u8(audio)
         rewards_h[t] = np.asarray(env._reward(kd, ld, win), np.float32)
         dones_h[t] = done.astype(np.float32)
         ep_ret += rewards_h[t]
@@ -120,7 +122,7 @@ def collect_trajectories_host(
         "behavior/episodes": float(len(rets)),
     }
     buffer = TrajectoryBuffer(
-        states=(jnp.asarray(swap(states_h)).astype(state_dtype) / 127.0),
+        states=(jnp.asarray(swap(states_h)).astype(state_dtype) / OBS_SCALE),
         actions=jnp.asarray(swap(actions_h)),
         rtg=jnp.asarray(swap(rtg)),
         timesteps=jnp.asarray(swap(tsteps_h)),
@@ -164,7 +166,7 @@ def evaluate_dt_host(
         )
 
     def eval_step(ctx, frames, audio_u8, prev_reward, prev_done, key):
-        obs = env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
+        obs = env._obs(frames, dequant_audio_u8(audio_u8))
         d = prev_done.astype(bool)
         # Settle the previous transition: decrement the target by the
         # observed reward; on episode end reset target/context/counter.
@@ -205,7 +207,7 @@ def evaluate_dt_host(
     step_jit = jax.jit(eval_step)
 
     frames, audio = env._host_reset()
-    audio_u8 = np.rint(audio * 15.0).astype(np.uint8)
+    audio_u8 = quant_audio_u8(audio)
     reward = np.zeros(n, np.float32)
     done = np.zeros(n, np.uint8)
     ctx = init_ctx()
@@ -216,7 +218,7 @@ def evaluate_dt_host(
         ctx, action_dev, key = step_jit(ctx, frames, audio_u8, reward, done, key)
         action = np.asarray(action_dev)
         frames, audio, kd, ld, done, win, _score, _life = env._host_step(action)
-        audio_u8 = np.rint(audio * 15.0).astype(np.uint8)
+        audio_u8 = quant_audio_u8(audio)
         reward = np.asarray(env._reward(kd, ld, win), np.float32)
         ep_ret += reward
         ep_len += 1

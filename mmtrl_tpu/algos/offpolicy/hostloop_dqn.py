@@ -57,14 +57,12 @@ from mmtrl_tpu.algos.offpolicy.dqn import (
 from mmtrl_tpu.core.checkpoint import save_run
 from mmtrl_tpu.core.metrics import MetricsWriter
 from mmtrl_tpu.data.buffers import ReplayBuffer
-
-
-def _quant(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(jnp.rint(x * 127.0), -127, 127).astype(jnp.int8)
-
-
-def _dequant(x: jnp.ndarray) -> jnp.ndarray:
-    return x.astype(jnp.float32) / 127.0
+from mmtrl_tpu.data.quant import (
+    dequant_audio_u8,
+    dequant_obs_i8 as _dequant,
+    quant_audio_u8,
+    quant_obs_i8 as _quant,
+)
 
 
 @struct.dataclass
@@ -133,7 +131,7 @@ def make_dqn_hostloop(
         prev_action: jnp.ndarray,
         store: jnp.ndarray,  # () bool: False only on the very first call
     ):
-        obs = env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
+        obs = env._obs(frames, dequant_audio_u8(audio_u8))
 
         def do_store(buf):
             return buf.add_batch(
@@ -207,7 +205,7 @@ def make_dqn_hostloop(
         )
 
     def act_greedy(params, frames, audio_u8):
-        obs = env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
+        obs = env._obs(frames, dequant_audio_u8(audio_u8))
         return greedy_fn(params, obs)
 
     return init_runner, step_fn, act_greedy
@@ -244,7 +242,7 @@ def run_dqn_hostloop(
     print("runner initialized", flush=True)
 
     def to_u8(audio):
-        return np.rint(audio * 15.0).astype(np.uint8)
+        return quant_audio_u8(audio)
 
     frames, audio = env._host_reset()
     audio_u8 = to_u8(audio)
@@ -308,12 +306,19 @@ def run_dqn_hostloop(
         "episodic_return": float(np.mean(recent[-40:])) if recent else 0.0,
     }
     if eval_steps:
+        # ``eval_steps`` counts POOL steps (each advancing all n envs once).
+        # A surviving policy only finishes episodes at the time-limit cap, so
+        # fewer pool iterations than the cap would record ZERO episodes —
+        # floor the window at cap + margin (the dt_rom.py eval convention).
+        eval_pool_steps = max(
+            eval_steps, getattr(env, "episode_steps", 0) + 100
+        )
         frames, audio = env._host_reset()
         audio_u8 = to_u8(audio)
         ep_ret = np.zeros(n, np.float64)
         ev_rets, ev_scores = [], []
         params = runner.train_state.params
-        for _ in range(eval_steps):
+        for _ in range(eval_pool_steps):
             a = np.asarray(eval_jit(params, frames, audio_u8))
             frames, audio, kd, ld, done, win, score, _life = env._host_step(a)
             audio_u8 = to_u8(audio)

@@ -32,6 +32,7 @@ import numpy as np
 
 from mmtrl_tpu.core.checkpoint import load_run, save_run
 from mmtrl_tpu.core.metrics import MetricsWriter
+from mmtrl_tpu.data.quant import dequant_audio_u8, quant_audio_u8
 
 
 class _SpecEnv:
@@ -115,7 +116,7 @@ def run_recurrent_ppo_hostloop(
         print(f"resuming at update {initial_update} (opt step {opt_step})")
 
     def obs_syn(frames, audio_u8):
-        return env._obs(frames, audio_u8.astype(jnp.float32) / 15.0)
+        return env._obs(frames, dequant_audio_u8(audio_u8))
 
     def step_call(rs, buf, t, frames, audio_u8, prev_done):
         obs = obs_syn(frames, audio_u8)
@@ -164,7 +165,7 @@ def run_recurrent_ppo_hostloop(
     )
 
     def to_u8(audio):
-        return np.rint(audio * 15.0).astype(np.uint8)
+        return quant_audio_u8(audio)
 
     frames, audio = env._host_reset()
     audio_u8 = to_u8(audio)

@@ -57,16 +57,20 @@ class NativeHomebrew(NativeSkeletonPlus):
         episode_steps: int = 1500,
         reward_mode: str = "score",
     ):
-        src_path = rom_path.replace(".bin", ".asm")
+        src_path = os.path.splitext(rom_path)[0] + ".asm"
         if not os.path.exists(rom_path) and os.path.exists(src_path):
             # Assemble the committed source on first use (tools/ sits next
-            # to the package when running from a checkout).
+            # to the package when running from a checkout).  Write via a
+            # temp file + atomic rename: concurrent lanes starting from a
+            # fresh checkout must never ctypes-load a half-written ROM.
             from tools.asm6502 import assemble_cartridge
 
             with open(src_path) as f:
                 rom = assemble_cartridge(f.read())
-            with open(rom_path, "wb") as f:
+            tmp_path = f"{rom_path}.tmp.{os.getpid()}"
+            with open(tmp_path, "wb") as f:
                 f.write(rom)
+            os.replace(tmp_path, rom_path)
         super().__init__(
             num_envs=num_envs,
             rom_path=rom_path,
@@ -95,3 +99,46 @@ class NativeBrick(NativeHomebrew):
 
     def __init__(self, num_envs: int, rom_path: str = BRICK_ROM, **kw):
         super().__init__(num_envs=num_envs, rom_path=rom_path, **kw)
+
+
+def make_native_env(
+    env_id: str,
+    num_envs: int,
+    rom_path: str = "",
+    seed: int = 0,
+    frameskip: int = 8,
+    episode_steps: int = 1500,
+    reward_mode: str = "score",
+):
+    """One factory for every native-2600 RL env (the scripts/*_rom.py entry).
+
+    Reward-mode vocabularies differ per game family — skeleton understands
+    'shaped'/'kills', the homebrew RL-ABI games 'score'/'win' — so each
+    script's single default ('score' for the value-based scripts, 'shaped'
+    for dt_rom.py) is remapped to the target family's default here, in ONE
+    place, instead of each script hand-rolling the translation.
+    """
+    if env_id in ("rally_native", "brick_native"):
+        default_rom = BRICK_ROM if env_id == "brick_native" else RALLY_ROM
+        return NativeHomebrew(
+            num_envs=num_envs,
+            rom_path=rom_path or default_rom,
+            seed=seed,
+            frameskip=frameskip,
+            episode_steps=episode_steps,
+            reward_mode="score" if reward_mode == "shaped" else reward_mode,
+        )
+    if env_id == "skeleton_plus_native":
+        from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
+
+        kw = dict(
+            num_envs=num_envs,
+            seed=seed,
+            frameskip=frameskip,
+            episode_steps=episode_steps,
+            reward_mode="shaped" if reward_mode == "score" else reward_mode,
+        )
+        if rom_path:
+            kw["rom_path"] = rom_path
+        return NativeSkeletonPlus(**kw)
+    raise ValueError(f"unknown native env id: {env_id}")

@@ -170,6 +170,7 @@ class NativeSkeletonPlus:
             raise FileNotFoundError(f"ROM not found at {rom_path!r}")
         self.num_envs = num_envs
         self.frameskip = frameskip
+        self.episode_steps = episode_steps
         self.reward_mode = reward_mode
         self._lib = load_native(self.PREFIX)
         self._handle = int(

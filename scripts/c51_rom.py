@@ -69,7 +69,7 @@ class Args:
     exploration_fraction: float = field(0.10, "fraction of steps for eps decay")
     learning_starts: int = field(20000, "env transitions before updates")
     train_frequency: int = field(2, "TD update every n POOL steps")
-    eval_steps: int = field(4000, "greedy eval env-steps after training (0: skip)")
+    eval_steps: int = field(4000, "greedy eval POOL steps after training, floored at the episode cap (0: skip)")
     print_interval: int = field(1, "print every n*50 pool steps")
     save_interval: int = field(0, "save train state every n*50 pool steps (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
@@ -77,39 +77,17 @@ class Args:
 
 def main(args=None):
     args = args or cli(Args)
-    if args.env_id in ("rally_native", "brick_native"):
-        from mmtrl_tpu.envs.homebrew_native import (
-            BRICK_ROM,
-            RALLY_ROM,
-            NativeHomebrew,
-        )
+    from mmtrl_tpu.envs.homebrew_native import make_native_env
 
-        default_rom = BRICK_ROM if args.env_id == "brick_native" else RALLY_ROM
-        env = NativeHomebrew(
-            num_envs=args.num_envs,
-            rom_path=args.rom_path or default_rom,
-            seed=args.seed,
-            frameskip=args.frameskip,
-            episode_steps=args.episode_steps,
-            reward_mode=args.reward_mode,
-        )
-    elif args.env_id == "skeleton_plus_native":
-        from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
-
-        kw = dict(
-            num_envs=args.num_envs,
-            seed=args.seed,
-            frameskip=args.frameskip,
-            episode_steps=args.episode_steps,
-            reward_mode=(
-                "shaped" if args.reward_mode == "score" else args.reward_mode
-            ),
-        )
-        if args.rom_path:
-            kw["rom_path"] = args.rom_path
-        env = NativeSkeletonPlus(**kw)
-    else:
-        raise ValueError(f"unknown native env id: {args.env_id}")
+    env = make_native_env(
+        args.env_id,
+        num_envs=args.num_envs,
+        rom_path=args.rom_path,
+        seed=args.seed,
+        frameskip=args.frameskip,
+        episode_steps=args.episode_steps,
+        reward_mode=args.reward_mode,
+    )
 
     cfg = DQNConfig(
         total_timesteps=args.total_timesteps,

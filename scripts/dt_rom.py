@@ -83,36 +83,17 @@ class Args:
 
 
 def _make_env(args):
-    if args.env_id in ("rally_native", "brick_native"):
-        from mmtrl_tpu.envs.homebrew_native import (
-            BRICK_ROM,
-            RALLY_ROM,
-            NativeHomebrew,
-        )
+    from mmtrl_tpu.envs.homebrew_native import make_native_env
 
-        default_rom = BRICK_ROM if args.env_id == "brick_native" else RALLY_ROM
-        return NativeHomebrew(
-            num_envs=args.collect_envs,
-            rom_path=args.rom_path or default_rom,
-            seed=args.seed,
-            frameskip=args.frameskip,
-            episode_steps=args.episode_steps,
-            reward_mode=(
-                "score" if args.reward_mode == "shaped" else args.reward_mode
-            ),
-        )
-    from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
-
-    kw = dict(
+    return make_native_env(
+        args.env_id,
         num_envs=args.collect_envs,
+        rom_path=args.rom_path,
         seed=args.seed,
         frameskip=args.frameskip,
         episode_steps=args.episode_steps,
         reward_mode=args.reward_mode,
     )
-    if args.rom_path:
-        kw["rom_path"] = args.rom_path
-    return NativeSkeletonPlus(**kw)
 
 
 def _behavior_policy(args, env):
@@ -155,6 +136,14 @@ def _behavior_policy(args, env):
 
 def main(args=None):
     args = args or cli(Args)
+    if args.episode_steps > args.max_timestep:
+        # nn.Embed clamps out-of-range gathers on TPU: every timestep past
+        # the table would silently share the last embedding row.
+        raise SystemExit(
+            f"--episode-steps {args.episode_steps} exceeds --max-timestep "
+            f"{args.max_timestep}; raise the embedding table to at least "
+            "the episode cap"
+        )
     run_name = f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     writer = MetricsWriter(run_name, args)
     key = jax.random.PRNGKey(args.seed)
