@@ -56,6 +56,7 @@ class NativeHomebrew(NativeSkeletonPlus):
         frameskip: int = 8,
         episode_steps: int = 1500,
         reward_mode: str = "score",
+        repeat_action_probability: float = 0.0,
     ):
         src_path = os.path.splitext(rom_path)[0] + ".asm"
         if not os.path.exists(rom_path) and os.path.exists(src_path):
@@ -78,6 +79,7 @@ class NativeHomebrew(NativeSkeletonPlus):
             frameskip=frameskip,
             episode_steps=episode_steps,
             reward_mode=reward_mode,
+            repeat_action_probability=repeat_action_probability,
         )
         self._rom_path = rom_path
 
@@ -109,6 +111,7 @@ def make_native_env(
     frameskip: int = 8,
     episode_steps: int = 1500,
     reward_mode: str = "score",
+    repeat_action_probability: float = 0.0,
 ):
     """One factory for every native-2600 RL env (the scripts/*_rom.py entry).
 
@@ -127,6 +130,7 @@ def make_native_env(
             frameskip=frameskip,
             episode_steps=episode_steps,
             reward_mode="score" if reward_mode == "shaped" else reward_mode,
+            repeat_action_probability=repeat_action_probability,
         )
     if env_id == "skeleton_plus_native":
         from mmtrl_tpu.envs.skeleton_native import NativeSkeletonPlus
@@ -137,6 +141,7 @@ def make_native_env(
             frameskip=frameskip,
             episode_steps=episode_steps,
             reward_mode="shaped" if reward_mode == "score" else reward_mode,
+            repeat_action_probability=repeat_action_probability,
         )
         if rom_path:
             kw["rom_path"] = rom_path

@@ -165,6 +165,7 @@ class NativeSkeletonPlus:
         frameskip: int = 8,
         episode_steps: int = 1500,
         reward_mode: str = "shaped",
+        repeat_action_probability: float = 0.0,
     ):
         if not os.path.exists(rom_path):
             raise FileNotFoundError(f"ROM not found at {rom_path!r}")
@@ -172,6 +173,15 @@ class NativeSkeletonPlus:
         self.frameskip = frameskip
         self.episode_steps = episode_steps
         self.reward_mode = reward_mode
+        # ALE-v5 sticky actions (the reference trains RND-Atari with
+        # envpool's repeat_action_probability=0.25, ppo_rnd_envpool.py:281):
+        # each step, with prob p the PREVIOUS action is executed instead of
+        # the agent's — breaks the deterministic-emulator phase-locking that
+        # collapses argmax policies on Breakout-class dynamics.  Previous
+        # action resets to 0 (noop) at episode start, as in ALE.
+        self.repeat_action_probability = float(repeat_action_probability)
+        self._sticky_rng = np.random.default_rng((seed << 8) ^ 0xA1E)
+        self._sticky_prev = np.zeros(num_envs, np.int32)
         self._lib = load_native(self.PREFIX)
         self._handle = int(
             self._fn("make")(
@@ -209,10 +219,17 @@ class NativeSkeletonPlus:
         frames = np.zeros((self.num_envs, FRAME_H, FRAME_W), np.uint8)
         audio = np.zeros((self.num_envs, 2, self.audio_len), np.float32)
         self._fn("reset")(self._handle, frames, audio)
+        self._sticky_prev[:] = 0
         return frames, audio
 
     def _host_step(self, actions: np.ndarray):
         actions = np.ascontiguousarray(actions, dtype=np.int32)
+        if self.repeat_action_probability > 0.0:
+            m = (
+                self._sticky_rng.random(self.num_envs)
+                < self.repeat_action_probability
+            )
+            actions = np.where(m, self._sticky_prev, actions).astype(np.int32)
         n = self.num_envs
         frames = np.zeros((n, FRAME_H, FRAME_W), np.uint8)
         audio = np.zeros((n, 2, self.audio_len), np.float32)
@@ -226,6 +243,10 @@ class NativeSkeletonPlus:
             self._handle, actions, frames, audio, kd, ld, done, win, kills,
             life,
         )
+        if self.repeat_action_probability > 0.0:
+            # Remember the EXECUTED action; auto-reset envs start the next
+            # episode from noop, matching ALE's reset of the sticky memory.
+            self._sticky_prev = np.where(done.astype(bool), 0, actions)
         return frames, audio, kd, ld, done, win, kills, life
 
     def ram(self) -> np.ndarray:

@@ -211,3 +211,54 @@ def test_rom_is_reproducible_from_source():
     with open(BRICK_ROM, "rb") as f:
         committed = f.read()
     assert built == committed, "brick.bin out of sync with brick.asm"
+
+
+def test_sticky_actions_p1_equals_noop_stream():
+    """ALE-v5 sticky semantics (reference RND-Atari trains with envpool's
+    repeat_action_probability=0.25, ppo_rnd_envpool.py:281): with p=1.0
+    every step repeats the previous executed action, and the sticky memory
+    starts at noop — so an arbitrary action stream must replay exactly as
+    an all-noop stream on a p=0 env with the same seed."""
+    e_sticky = NativeBrick(
+        num_envs=2, seed=3, frameskip=8, episode_steps=200,
+        repeat_action_probability=1.0,
+    )
+    e_noop = NativeBrick(num_envs=2, seed=3, frameskip=8, episode_steps=200)
+    try:
+        e_sticky._host_reset()
+        e_noop._host_reset()
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            acts = rng.integers(0, 6, size=2).astype(np.int32)
+            f_s, *_ = e_sticky._host_step(acts)
+            f_n, *_ = e_noop._host_step(np.zeros(2, np.int32))
+            np.testing.assert_array_equal(f_s, f_n)
+    finally:
+        e_sticky.close()
+        e_noop.close()
+
+
+def test_sticky_actions_substitution_rate():
+    """First post-reset step: each env independently executes noop instead
+    of the commanded action with prob p=0.25 (binomial bound over 64 envs),
+    observable through the executed-action memory."""
+    e = NativeBrick(
+        num_envs=64, seed=9, frameskip=8, episode_steps=200,
+        repeat_action_probability=0.25,
+    )
+    try:
+        e._host_reset()
+        e._host_step(np.full(64, RIGHT, np.int32))
+        substituted = int((e._sticky_prev == NOOP).sum())
+        # Binomial(64, 0.25): mean 16, P(outside [4, 31]) < 1e-4
+        assert 4 <= substituted <= 31, substituted
+        # p=0 keeps the agent's action stream untouched
+        e0 = NativeBrick(num_envs=8, seed=9, frameskip=8, episode_steps=200)
+        try:
+            e0._host_reset()
+            f1, *_ = e0._host_step(np.full(8, RIGHT, np.int32))
+            assert np.all(e0._sticky_prev == 0)  # memory unused at p=0
+        finally:
+            e0.close()
+    finally:
+        e.close()

@@ -27,6 +27,13 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--conv-size", default="small")
     p.add_argument("--attn-type", default="casl")
+    p.add_argument(
+        "--repeat-action-probability", type=float, default=0.0,
+        help="ALE-v5 sticky actions (the reference's envpool RND-Atari "
+        "setting is 0.25, ppo_rnd_envpool.py:281); breaks the argmax "
+        "phase-lock so a greedy eval measures policy quality, not "
+        "emulator determinism",
+    )
     args = p.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -41,7 +48,10 @@ def main() -> None:
     from mmtrl_tpu.models import MultimodalRecurrentAgent
     from mmtrl_tpu.utils.evaluate import evaluate_policy
 
-    env = make(args.env_id, num_envs=args.num_envs)
+    env = make(
+        args.env_id, num_envs=args.num_envs,
+        repeat_action_probability=args.repeat_action_probability,
+    )
     model = MultimodalRecurrentAgent(
         num_actions=env.num_actions, conv_type=args.conv_size,
         attn_type=args.attn_type, fusion_type="sum", input_scale=1.0,
