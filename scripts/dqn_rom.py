@@ -49,6 +49,7 @@ class Args:
     frameskip: int = field(8, "emulator frames per env step")
     episode_steps: int = field(1500, "env-step cap per episode")
     reward_mode: str = field("score", "'score'/'win' (rally), 'shaped'/'kills' (skeleton)")
+    repeat_action_probability: float = field(0.0, "ALE-v5 sticky actions (reference envpool setting: 0.25)")
     total_timesteps: int = field(1000000, "total env transitions")
     learning_rate: float = field(1e-4, "Adam lr (dqn_atari default)")
     num_envs: int = field(8, "parallel emulated cartridges")
@@ -80,6 +81,7 @@ def main(args=None):
         frameskip=args.frameskip,
         episode_steps=args.episode_steps,
         reward_mode=args.reward_mode,
+        repeat_action_probability=args.repeat_action_probability,
     )
 
     cfg = DQNConfig(

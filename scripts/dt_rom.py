@@ -48,6 +48,7 @@ class Args:
     frameskip: int = field(8, "emulator frames per env step")
     episode_steps: int = field(1500, "env-step cap per episode")
     reward_mode: str = field("shaped", "'shaped'/'kills' (skeleton), 'score'/'win' (rally)")
+    repeat_action_probability: float = field(0.0, "ALE-v5 sticky actions (reference envpool setting: 0.25)")
     # --- behavior policy (stage 1) ---
     policy_from: str = field("", "Orbax dir of a host-loop PPO run (e.g. runs_mujoco/ckpt_rom_hl5); empty = random")
     policy_epsilon: float = field(0.1, "random-action mixture for dataset diversity")
@@ -93,6 +94,7 @@ def _make_env(args):
         frameskip=args.frameskip,
         episode_steps=args.episode_steps,
         reward_mode=args.reward_mode,
+        repeat_action_probability=args.repeat_action_probability,
     )
 
 

@@ -38,6 +38,7 @@ class Args(BasePPOArgs):
     )
     frameskip: int = field(8, "emulator frames per env step (native backend)")
     reward_mode: str = field("shaped", "'shaped' (sim-compatible) or 'kills' (score delta)")
+    repeat_action_probability: float = field(0.0, "ALE-v5 sticky actions, native backend (reference envpool setting: 0.25)")
     host_loop: bool = field(
         False,
         "native backend via the host rollout loop (policy+update on the "
@@ -66,6 +67,7 @@ def main(args=None):
             seed=args.seed,
             frameskip=args.frameskip,
             reward_mode=args.reward_mode,
+            repeat_action_probability=args.repeat_action_probability,
         )
     else:
         env = make(args.env_id)
