@@ -65,6 +65,12 @@ def _populate() -> None:
     register("rally_native")(NativeHomebrew)
     register("brick_native")(NativeBrick)
 
+    from mmtrl_tpu.envs.pong_ma import NativePong2P
+
+    # TWO-PLAYER pong cartridge (both joysticks agent-driven) — the
+    # multi-agent Atari leg (reference ppo_pettingzoo_ma_atari.py).
+    register("pong_ma_native")(NativePong2P)
+
     from mmtrl_tpu.envs.procmaze import ProcMaze
 
     # Procgen-contract procedural distribution (num_levels/start_level

@@ -39,6 +39,23 @@ inline void apply_input(Machine2600* m, uint8_t bits) {
   m->fire[0] = (bits & 0x10) != 0;
 }
 
+// Two-player variant: `bits0`/`bits1` use the same bit protocol, applied
+// to the P0 (high) and P1 (low) SWCHA nibbles and the two fire lines.
+inline void apply_input2(Machine2600* m, uint8_t bits0, uint8_t bits1) {
+  uint8_t swcha = 0xFF;
+  if (bits0 & 0x01) swcha &= ~0x10;
+  if (bits0 & 0x02) swcha &= ~0x20;
+  if (bits0 & 0x04) swcha &= ~0x40;
+  if (bits0 & 0x08) swcha &= ~0x80;
+  if (bits1 & 0x01) swcha &= ~0x01;
+  if (bits1 & 0x02) swcha &= ~0x02;
+  if (bits1 & 0x04) swcha &= ~0x04;
+  if (bits1 & 0x08) swcha &= ~0x08;
+  m->riot().swcha = swcha;
+  m->fire[0] = (bits0 & 0x10) != 0;
+  m->fire[1] = (bits1 & 0x10) != 0;
+}
+
 // Pixelwise max of the machine's last frame with `prev` into `out`
 // (ALE flicker handling; a no-op difference for non-flickering games).
 inline void copy_frame_max(Machine2600* m, const uint8_t* prev, uint8_t* out) {
