@@ -23,10 +23,52 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "x = jnp.ones((128, 128)); print(float((x @ x).sum()))"
+)
+
+
+def wait_for_tpu(budget_s: float) -> None:
+    """Block (bounded) until the axon tunnel answers a real round-trip.
+
+    The tunnel has outage windows during which an in-process jax dispatch
+    hangs uninterruptibly (tools/wait_tpu.sh exists for the same reason),
+    so the probe runs in a SUBPROCESS with a timeout; once it succeeds the
+    in-process backend below is safe to initialize.  On a CPU-only host
+    (no axon plugin) the probe succeeds immediately on the default backend.
+    """
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=240,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            # Initializing the axon backend in-process during an outage
+            # hangs uninterruptibly — a loud fast failure beats eating the
+            # caller's whole timeout.
+            print(
+                "bench: device backend unreachable after probe budget — "
+                "aborting instead of hanging", file=sys.stderr, flush=True,
+            )
+            sys.exit(2)
+        print("bench: device backend not answering, retrying...",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
 
 
 def main():
@@ -100,4 +142,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_tpu(float(os.environ.get("MMTRL_BENCH_WAIT_TPU_S", "1800")))
     main()
