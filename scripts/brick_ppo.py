@@ -44,6 +44,9 @@ class Args(BasePPOArgs):
     eval_steps: int = field(
         4000, "greedy eval env-steps after host-loop training (0: skip)"
     )
+    repeat_action_probability: float = field(
+        0.0, "ALE-v5 sticky actions (reference envpool setting: 0.25)"
+    )
 
 
 def main(args=None):
