@@ -41,7 +41,18 @@ from mmtrl_tpu.ops.mfcc import SKELETON_PLUS_PARAMS, mfcc
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libmmtrl_atari.so")
-DEFAULT_ROM = "/root/reference/environments/skeleton_plus/SkelPlus.bin"
+# ROM resolution order: $MMTRL_SKELETON_ROM, then a repo-local roms/ drop-in,
+# then this rig's read-only reference checkout (the benchmark ROM itself —
+# reference environments/skeleton_plus/SkelPlus.bin).
+_ROM_CANDIDATES = (
+    os.environ.get("MMTRL_SKELETON_ROM", ""),
+    os.path.join(_NATIVE_DIR, "..", "roms", "SkelPlus.bin"),
+    "/root/reference/environments/skeleton_plus/SkelPlus.bin",
+)
+DEFAULT_ROM = next(
+    (p for p in _ROM_CANDIDATES if p and os.path.exists(p)),
+    _ROM_CANDIDATES[-1],
+)
 
 IMG = 84
 FRAME_H, FRAME_W = 192, 160
