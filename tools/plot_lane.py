@@ -29,16 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mmtrl_tpu.utils.plot import smooth
 
-LINE_RE = re.compile(
-    r"global_step=(\d+)\s.*?episodic_return=(-?[\d.]+|nan)"
-)
+def line_re(field):
+    return re.compile(
+        rf"global_step=(\d+)\s.*?{re.escape(field)}=(-?[\d.]+|nan)"
+    )
 
 
-def parse_log(path):
+def parse_log(path, field="episodic_return"):
     steps, rets = [], []
+    pat = line_re(field)
     with open(path, errors="replace") as f:
         for line in f:
-            m = LINE_RE.search(line)
+            m = pat.search(line)
             if not m or m.group(2) == "nan":
                 continue
             steps.append(int(m.group(1)))
@@ -60,6 +62,8 @@ def main():
     ap.add_argument("--title", default="")
     ap.add_argument("--ylabel", default="episodic return")
     ap.add_argument("--smooth", type=float, default=0.9)
+    ap.add_argument("--field", default="episodic_return",
+                    help="log field to plot (episodic_return, kills, score)")
     ap.add_argument("--hline", type=float, default=None,
                     help="reference band to draw (e.g. a published mean)")
     ap.add_argument("--hline-label", default="reference")
@@ -69,14 +73,18 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # Fixed-order categorical slots (pre-validated CVD-safe palette); series
+    # are assigned in order, never cycled — keep panels to <= 4 series.
+    palette = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=120)
-    for entry in args.series:
+    for i, entry in enumerate(args.series):
         path, _, label = entry.partition(":")
-        steps, rets = parse_log(path)
+        steps, rets = parse_log(path, args.field)
         label = label or os.path.basename(path).removesuffix(".log")
-        ax.plot(steps, smooth(rets, args.smooth), linewidth=1.6, label=label)
-        ax.plot(steps, rets, alpha=0.15, linewidth=0.8,
-                color=ax.lines[-1].get_color())
+        color = palette[i % len(palette)]
+        ax.plot(steps, smooth(rets, args.smooth), linewidth=1.8,
+                label=label, color=color)
+        ax.plot(steps, rets, alpha=0.15, linewidth=0.8, color=color)
     if args.hline is not None:
         ax.axhline(args.hline, linestyle="--", color="gray", linewidth=1.0,
                    label=args.hline_label)
