@@ -44,9 +44,16 @@ V5E_BF16_PEAK = 197e12
 CONV_GFLOP_PER_FRAME = 0.109  # fwd+bwd, 2x84x84 big towers (RESULTS.md)
 
 
-def make_batch(key, B, K, num_actions=4):
+def make_batch(key, B, K, cfg, num_actions=4):
     k1, k2, k3 = jax.random.split(key, 3)
-    states = jax.random.uniform(k1, (B, K, 2, 84, 84), jnp.bfloat16, -1.0, 1.0)
+    if cfg.state_kind == "vector":
+        states = jax.random.uniform(
+            k1, (B, K, cfg.state_dim), jnp.bfloat16, -1.0, 1.0
+        )
+    else:
+        states = jax.random.uniform(
+            k1, (B, K, 2, 84, 84), jnp.bfloat16, -1.0, 1.0
+        )
     rtg = jax.random.uniform(k2, (B, K), jnp.float32, -30.0, 10.0)
     actions = jax.random.randint(k3, (B, K), 0, num_actions, dtype=jnp.int32)
     timesteps = jnp.tile(jnp.arange(K, dtype=jnp.int32), (B, 1))
@@ -69,14 +76,17 @@ def matmul_params(params):
 
 def bench_variant(name, cfg, B, K, iters, key):
     tcfg = DTTrainConfig(batch_size=B, total_steps=10_000)
-    batch = make_batch(key, B, K)
+    batch = make_batch(key, B, K, cfg)
     state = create_dt_state(key, cfg, tcfg, batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     p_mm = matmul_params(state.params)
+    print(f"[{name}] state ready, compiling...", flush=True)
 
     step = jax.jit(make_dt_train_step(cfg), donate_argnums=(0,))
+    t_c = time.perf_counter()
     s, m = step(state, batch, key)
     float(m["dt/loss"])  # compile + sync
+    print(f"[{name}] compiled in {time.perf_counter()-t_c:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     for i in range(iters):
@@ -87,11 +97,12 @@ def bench_variant(name, cfg, B, K, iters, key):
     S = 3 * K
     tokens = B * S
     dh = cfg.d_model // cfg.n_heads
-    flops = (
-        6.0 * p_mm * tokens
-        + 12.0 * B * cfg.n_heads * S * S * dh
-        + CONV_GFLOP_PER_FRAME * 1e9 * B * K
+    conv = (
+        CONV_GFLOP_PER_FRAME * 1e9 * B * K
+        if cfg.state_kind == "multimodal"
+        else 0.0
     )
+    flops = 6.0 * p_mm * tokens + 12.0 * B * cfg.n_heads * S * S * dh + conv
     mfu = flops / dt / V5E_BF16_PEAK
     print(
         f"{name:8s} ms/step={dt*1e3:8.2f}  tokens/s={tokens/dt:12,.0f}  "
@@ -108,6 +119,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--d-model", type=int, default=512)
     ap.add_argument("--n-layers", type=int, default=6)
+    ap.add_argument(
+        "--state-kind", default="vector", choices=["vector", "multimodal"],
+        help="vector (default: isolates the attention path; compiles fast "
+        "over the tunnel) or multimodal (flagship two-tower conv encoder)",
+    )
     args = ap.parse_args()
 
     cfg = DTConfig(
@@ -118,6 +134,8 @@ def main():
         n_heads=4,
         dropout=0.1,
         max_timestep=4096,
+        state_kind=args.state_kind,
+        state_dim=64 if args.state_kind == "vector" else 0,
     )
     S = 3 * args.context_len
     assert S >= fa.PALLAS_MIN_SEQ, (
