@@ -54,7 +54,7 @@ from mmtrl_tpu.algos.offpolicy.dqn import (
     DQNTrainState,
     dqn_td_update,
 )
-from mmtrl_tpu.core.checkpoint import save_run
+from mmtrl_tpu.core.checkpoint import load_run, save_run
 from mmtrl_tpu.core.metrics import MetricsWriter
 from mmtrl_tpu.data.buffers import ReplayBuffer
 from mmtrl_tpu.data.quant import (
@@ -237,6 +237,19 @@ def run_dqn_hostloop(
         env, model, cfg, greedy_fn=greedy_fn, update_fn=update_fn, tx=tx
     )
     runner = jax.jit(init_runner)(jax.random.PRNGKey(args.seed))
+    if getattr(args, "load_from", ""):
+        # Resume semantics (hang/outage recovery): only the train state
+        # (params + target + opt) is checkpointed — the replay ring stays
+        # on device and restarts cold.  The fresh runner's global_step=0
+        # re-gates updates on a full learning_starts refill (near-on-policy
+        # data from the restored net), and the caller clamps the epsilon
+        # schedule to end_e (scripts/{dqn,c51}_rom.py) so the refill is
+        # collected at the final behavior policy, not a re-exploration.
+        ts = load_run(
+            args.load_from, target=jax.device_get(runner.train_state)
+        )
+        runner = runner.replace(train_state=ts)
+        print(f"resumed train state from {args.load_from}", flush=True)
     step_jit = jax.jit(step_fn)
     eval_jit = jax.jit(act_greedy)
     print("runner initialized", flush=True)

@@ -74,10 +74,20 @@ class Args:
     print_interval: int = field(1, "print every n*50 pool steps")
     save_interval: int = field(0, "save train state every n*50 pool steps (0: never)")
     save_dir: str = field("saved_agents", "checkpoint folder")
+    load_from: str = field(
+        "",
+        "resume: restore the train state (params+target+opt) from a saved "
+        "run; the replay ring restarts cold and refills at epsilon=end_e "
+        "before updates resume (hostloop_dqn.py resume semantics)",
+    )
 
 
 def main(args=None):
     args = args or cli(Args)
+    if args.load_from:
+        # Resumed behavior acts at the final epsilon while the cold replay
+        # ring refills — not a re-exploration from start_e.
+        args.start_e = args.end_e
     from mmtrl_tpu.envs.homebrew_native import make_native_env
 
     env = make_native_env(

@@ -19,6 +19,7 @@ for attempt in 1 2; do
     --learning-rate 1e-4 --train-frequency 2 --target-network-frequency 125 \
     --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
     --eval-steps 6000 --print-interval 1 --exp-name dqn_brick_s1 --seed 1 \
+    --save-interval 100 --save-dir saved_agents \
     >> runs_mujoco/dqn_brick_s1.log 2>&1
   rc=$?
   echo "=== dqn_brick_s1 attempt $attempt rc=$rc $(date -u +%H:%M:%S) ==="
