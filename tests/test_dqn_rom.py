@@ -176,3 +176,48 @@ def test_run_c51_hostloop_end_to_end(env, tmp_path, monkeypatch):
     assert result["global_step"] >= 240
     assert result["eval_episodes"] >= 1
     assert np.isfinite(result["eval_episodic_return"])
+
+
+def test_run_dqn_hostloop_resume(env, tmp_path, monkeypatch, capsys):
+    """Round-4 resume semantics (hostloop_dqn.py): a second run restores the
+    checkpointed train state into a fresh runner (cold replay ring) and
+    trains on — the outage-recovery path the r4 lanes rely on."""
+    import glob as _glob
+
+    monkeypatch.setenv("MMTRL_RUN_ROOT", str(tmp_path))
+
+    class A:
+        exp_name = "dqn_resume_test"
+        seed = 11
+        env_id = "rally_native"
+        print_interval = 1
+        save_interval = 1  # save every 50 pool steps
+        save_dir = str(tmp_path)
+        load_from = ""
+        track = False
+        capture_video = False
+
+    cfg = DQNConfig(
+        total_timesteps=240,
+        num_envs=env.num_envs,
+        buffer_size=256,
+        batch_size=16,
+        learning_starts=16,
+        train_frequency=1,
+        target_network_frequency=8,
+    )
+    model = QNetwork(num_actions=env.num_actions, input_scale=1.0)
+    run_dqn_hostloop(env, model, cfg, A(), eval_steps=0)
+    ckpts = _glob.glob(str(tmp_path) + "/rally_native__dqn_resume_test__*")
+    assert ckpts, "save_interval produced no checkpoint"
+
+    class B(A):
+        exp_name = "dqn_resume_test_b"
+        seed = 12
+        save_interval = 0
+        load_from = sorted(ckpts)[-1]
+
+    result = run_dqn_hostloop(env, model, cfg, B(), eval_steps=0)
+    out = capsys.readouterr().out
+    assert "resumed train state from" in out
+    assert result["global_step"] >= 240
