@@ -38,6 +38,11 @@ class Args(BasePPOArgs):
         "{-1,+1} planes it stores exactly; bfloat16 otherwise), or an "
         "explicit dtype",
     )
+    eval_rollout_steps: int = field(
+        512,
+        "greedy-eval rollout length per env for the procmaze train/held-out "
+        "generalization split (longer = more episodes = lower eval variance)",
+    )
 
 
 def main(args=None):
@@ -114,7 +119,8 @@ def main(args=None):
             m = jax.device_get(
                 jax.jit(
                     lambda p, kk, e=e: evaluate_policy(
-                        e, apply2, p, kk, num_envs=64, num_steps=512
+                        e, apply2, p, kk, num_envs=64,
+                        num_steps=args.eval_rollout_steps,
                     )
                 )(params, k)
             )
@@ -124,6 +130,15 @@ def main(args=None):
                 f"{int(m['eval/episodes'])} episodes"
             )
         out["generalization"] = res
+        # Expose the generalization split to TensorBoard so the tuner can
+        # optimize the HELD-OUT return directly (round-4 transfer sweep;
+        # reference tuner reads back TB scalars, cleanrl_utils/tuner.py:95).
+        from mmtrl_tpu.core.metrics import MetricsWriter
+
+        w = MetricsWriter(out["run_name"])
+        w.scalar("charts/heldout_return", res["test"], out["global_step"])
+        w.scalar("charts/train_eval_return", res["train"], out["global_step"])
+        w.close()
     return out
 
 

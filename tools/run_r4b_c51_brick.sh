@@ -19,7 +19,7 @@ for attempt in 1 2; do
     --total-timesteps 1000000 --buffer-size 100000 --batch-size 128 \
     --learning-rate 2.5e-4 --train-frequency 2 --target-network-frequency 1250 \
     --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
-    --eval-steps 6000 --print-interval 2 --exp-name c51_brick_s1 --seed 1 \
+    --eval-steps 6000 --print-interval 2 --exp-name c51_brick_s1 --seed 1 --save-interval 100 --save-dir saved_agents \
     >> runs_mujoco/c51_brick_s1.log 2>&1
   rc=$?
   echo "=== c51_brick_s1 attempt $attempt rc=$rc $(date -u +%H:%M:%S) ==="

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Transfer-targeted PPG/ProcMaze sweep: optimize the HELD-OUT return.
+
+Round 3's sweep optimized the train return and honestly found the winner
+bought train-distribution performance, not transfer (RESULTS.md ProcMaze
+table).  This study targets generalization directly: the objective is
+``charts/heldout_return`` — the greedy return on the disjoint [800,1000)
+level window that scripts/ppg.py evaluates and (round 4) writes to
+TensorBoard at exit — and the search moves the knobs the procgen paper
+ties to transfer: entropy, the train-level count, and the auxiliary
+(value-distillation) budget.
+
+    python tools/tune_ppg_transfer.py [num_trials]
+
+Probe budget 2M steps with a doubled eval rollout (lower eval variance);
+the winner gets promoted to 3x10M seeds by hand (reference protocol:
+cleanrl_utils/tuner.py:71-130 search -> promote).
+"""
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))  # scripts import _common
+
+from mmtrl_tpu.utils.tuner import Tuner  # noqa: E402
+
+REPO = _REPO
+
+
+def params_fn(trial):
+    return {
+        "env-id": "procmaze",
+        # Transfer knob 1: how many distinct levels the learner sees.
+        "num-levels": trial.suggest_categorical("num-levels", [400, 600, 800]),
+        "total-timesteps": 2_000_000,
+        "num-envs": 64,
+        "num-steps": 64,
+        # Fixed at the round-3 sweep winner's value (train-side optimum).
+        "learning-rate": 8.8e-4,
+        # Transfer knob 2: exploration entropy, searched wider than round 3.
+        "ent-coef": trial.suggest_float("ent-coef", 0.003, 0.05, log=True),
+        # Transfer knob 3: auxiliary/distillation budget.
+        "e-auxiliary": trial.suggest_int("e-auxiliary", 2, 8),
+        "beta-clone": trial.suggest_float("beta-clone", 0.3, 2.0, log=True),
+        "n-iteration": trial.suggest_categorical("n-iteration", [16, 32]),
+        "num-aux-minibatches": 16,
+        "eval-rollout-steps": 1024,
+        "print-interval": 20,
+    }
+
+
+def main():
+    num_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tuner = Tuner(
+        script=os.path.join(REPO, "scripts", "ppg.py"),
+        metric="charts/heldout_return",
+        # The held-out scalar is written once at exit; window=1 reads it.
+        metric_last_n_average_window=1,
+        # random ~ -2.56; +9.5 is the solvable ceiling (ppg.md)
+        target_scores={"procmaze": (-2.56, 9.5)},
+        params_fn=params_fn,
+        storage=os.path.join(REPO, "runs_tuner", "ppg_transfer_study.log"),
+        study_name="ppg_transfer",
+    )
+    results = tuner.tune(num_trials=num_trials, num_seeds=1)
+    results.sort(key=lambda r: r["score"], reverse=True)
+    print("\n=== transfer sweep results (best first) ===")
+    for r in results:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()
