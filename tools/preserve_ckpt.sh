@@ -19,7 +19,14 @@ while true; do
   if [ -n "${SRC:-}" ] && [ -f "$SRC/_CHECKPOINT_METADATA" ]; then
     age=$(( $(date +%s) - $(stat -c %Y "$SRC/_CHECKPOINT_METADATA") ))
     if [ "$age" -gt 60 ]; then
-      rm -rf "$DEST.tmp" && cp -a "$SRC" "$DEST.tmp" && rm -rf "$DEST" && mv "$DEST.tmp" "$DEST"
+      # Swap via two renames so a concurrent `git add` can never see a
+      # half-copied tree (ADVICE r3: torn-checkpoint commit risk); the copy
+      # itself happens into the untracked .tmp path.
+      rm -rf "$DEST.tmp" "$DEST.old" \
+        && cp -a "$SRC" "$DEST.tmp" \
+        && { [ -e "$DEST" ] && mv "$DEST" "$DEST.old" || true; } \
+        && mv "$DEST.tmp" "$DEST" \
+        && rm -rf "$DEST.old"
     fi
   fi
   sleep 300
