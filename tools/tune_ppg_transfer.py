@@ -34,7 +34,11 @@ def params_fn(trial):
         "env-id": "procmaze",
         # Transfer knob 1: how many distinct levels the learner sees.
         "num-levels": trial.suggest_categorical("num-levels", [400, 600, 800]),
-        "total-timesteps": 2_000_000,
+        # 5M probes: at 2M every config's held-out return sits at the random
+        # floor (measured, trials 0-1 of the first launch scored 0.0) — the
+        # transfer signal only separates once the train return lifts, which
+        # the 10M reference curves put past ~4M steps.
+        "total-timesteps": 5_000_000,
         "num-envs": 64,
         "num-steps": 64,
         # Fixed at the round-3 sweep winner's value (train-side optimum).
