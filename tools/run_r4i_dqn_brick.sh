@@ -10,6 +10,13 @@
 # reboot once committed).
 #
 # Launch detached:
+#
+# 16-env rescale (20:35Z): at 8 envs the tunnel-latency-bound host loop
+# measured 51 global SPS -> 5.4h/lane, over the round budget.  16 envs
+# doubles steps per round-trip; update-to-data ratio preserved exactly
+# (train-frequency 2->1 keeps 1 update / 16 global steps; target sync
+# 125->63 pool keeps ~1000 global steps; learning-starts/exploration are
+# in global units and unchanged).
 #   setsid nohup bash tools/run_r4i_dqn_brick.sh > runs_mujoco/r4i_lane.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
@@ -35,9 +42,9 @@ for attempt in 1 2 3 4 5 6 7 8; do
     [ -n "${SRC:-}" ] && LOAD="--load-from $SRC"
   fi
   echo "=== segment attempt=$attempt done=$DONE remain=$REMAIN load='${LOAD}' $(date -u +%H:%M:%S) ===" >> "$LOG"
-  python -u scripts/dqn_rom.py --env-id brick_native --num-envs 8 \
+  python -u scripts/dqn_rom.py --env-id brick_native --num-envs 16 \
     --total-timesteps "$REMAIN" --buffer-size 100000 --batch-size 128 \
-    --learning-rate 1e-4 --train-frequency 2 --target-network-frequency 125 \
+    --learning-rate 1e-4 --train-frequency 1 --target-network-frequency 63 \
     --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
     --eval-steps 6000 --print-interval 1 --exp-name dqn_brick_f --seed 1 \
     --save-interval 25 --save-dir saved_agents $LOAD \
