@@ -50,12 +50,16 @@ class Args:
     reward_mode: str = field("shaped", "'shaped'/'kills' (skeleton), 'score'/'win' (rally)")
     repeat_action_probability: float = field(0.0, "ALE-v5 sticky actions (reference envpool setting: 0.25)")
     # --- behavior policy (stage 1) ---
-    policy_from: str = field("", "Orbax dir of a host-loop PPO run (e.g. runs_mujoco/ckpt_rom_hl5); empty = random")
+    policy_from: str = field("", "Orbax dir of a host-loop run (e.g. runs_mujoco/ckpt_rom_hl5); empty = random")
+    policy_kind: str = field("ppo", "behavior checkpoint kind: ppo (recurrent actor) | dqn | c51 (hostloop_dqn train states)")
     policy_epsilon: float = field(0.1, "random-action mixture for dataset diversity")
-    policy_greedy: bool = field(False, "argmax instead of sampling from the policy")
-    policy_attn_type: str = field("casl", "behavior agent attention type")
-    policy_conv_size: str = field("small", "behavior agent conv tower size")
-    policy_fusion_type: str = field("sum", "behavior agent fusion type")
+    policy_greedy: bool = field(False, "argmax instead of sampling from the policy (ppo only; value policies are always greedy)")
+    policy_attn_type: str = field("casl", "ppo behavior agent attention type")
+    policy_conv_size: str = field("small", "ppo behavior agent conv tower size")
+    policy_fusion_type: str = field("sum", "ppo behavior agent fusion type")
+    policy_n_atoms: int = field(51, "c51 behavior: categorical support atoms (must match training)")
+    policy_v_min: float = field(-10.0, "c51 behavior: support lower bound")
+    policy_v_max: float = field(10.0, "c51 behavior: support upper bound")
     collect_envs: int = field(16, "parallel emulated cartridges for collection")
     collect_steps: int = field(65536, "total env transitions to collect")
     # --- DT (stage 2) ---
@@ -103,6 +107,48 @@ def _behavior_policy(args, env):
     if not args.policy_from:
         return None, None
     from mmtrl_tpu.core.checkpoint import load_run
+
+    if args.policy_kind in ("dqn", "c51"):
+        # Value-learning behavior: the saved hostloop_dqn/c51 train state is
+        # the raw DQNTrainState pytree (hostloop_dqn.py saves it unwrapped),
+        # so params live at the top level.  Value policies have no action
+        # distribution to sample — acting is argmax-Q + the epsilon mixture,
+        # exactly the policy the Q run itself evaluates greedily.
+        from mmtrl_tpu.models import DistributionalQNetwork, QNetwork
+
+        restored = load_run(args.policy_from)
+        q_params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        if args.policy_kind == "dqn":
+            qmodel = QNetwork(num_actions=env.num_actions, input_scale=1.0)
+
+            def q_values(obs):
+                return qmodel.apply(q_params, obs)
+        else:
+            qmodel = DistributionalQNetwork(
+                num_actions=env.num_actions,
+                n_atoms=args.policy_n_atoms,
+                input_scale=1.0,
+            )
+            atoms = jnp.linspace(
+                args.policy_v_min, args.policy_v_max, args.policy_n_atoms
+            )
+
+            def q_values(obs):
+                return (qmodel.apply(q_params, obs) * atoms).sum(axis=-1)
+
+        eps = args.policy_epsilon
+
+        def policy_fn(k, obs, done, carry):
+            k_rand, k_mix = jax.random.split(k)
+            pi = jnp.argmax(q_values(obs), axis=-1)
+            rand = jax.random.randint(
+                k_rand, pi.shape, 0, env.num_actions, pi.dtype
+            )
+            mix = jax.random.uniform(k_mix, pi.shape) < eps
+            return jnp.where(mix, rand, pi), carry
+
+        return policy_fn, None
+
     from mmtrl_tpu.models import MultimodalRecurrentAgent
 
     behavior = MultimodalRecurrentAgent(
