@@ -11,7 +11,12 @@
 #
 # Launch detached:
 #
-# 16-env rescale (20:35Z): at 8 envs the tunnel-latency-bound host loop
+# 32-env rescale (21:30Z): at 16 envs BOTH lanes measured 53 SPS — the two
+# clients split a ~150ms-per-iteration tunnel budget, so combined global
+# throughput is what scales with envs-per-round-trip.  32 envs + batch 256
+# keeps the reference protocol ratio EXACTLY (8 replayed samples per env
+# step: cleanrl dqn_atari = batch 32 per 4 env steps; here 256 per 32) with
+# half the update count at twice the batch.  Earlier 16-env rescale:
 # measured 51 global SPS -> 5.4h/lane, over the round budget.  16 envs
 # doubles steps per round-trip; update-to-data ratio preserved exactly
 # (train-frequency 2->1 keeps 1 update / 16 global steps; target sync
@@ -42,9 +47,9 @@ for attempt in 1 2 3 4 5 6 7 8; do
     [ -n "${SRC:-}" ] && LOAD="--load-from $SRC"
   fi
   echo "=== segment attempt=$attempt done=$DONE remain=$REMAIN load='${LOAD}' $(date -u +%H:%M:%S) ===" >> "$LOG"
-  python -u scripts/dqn_rom.py --env-id brick_native --num-envs 16 \
-    --total-timesteps "$REMAIN" --buffer-size 100000 --batch-size 128 \
-    --learning-rate 1e-4 --train-frequency 1 --target-network-frequency 63 \
+  python -u scripts/dqn_rom.py --env-id brick_native --num-envs 32 \
+    --total-timesteps "$REMAIN" --buffer-size 100000 --batch-size 256 \
+    --learning-rate 1e-4 --train-frequency 1 --target-network-frequency 32 \
     --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
     --eval-steps 6000 --print-interval 1 --exp-name dqn_brick_f --seed 1 \
     --save-interval 25 --save-dir saved_agents $LOAD \

@@ -11,7 +11,9 @@
 #
 # Launch detached:
 #
-# 16-env rescale (20:35Z): same rationale as r4i; C51 target sync
+# 32-env rescale (21:30Z): same rationale as r4i (53 SPS shared-tunnel
+# ceiling); batch 256 per 32-step pool iteration keeps 8 replayed samples
+# per env step.  Earlier: C51 target sync
 # 1250->625 pool keeps the 10k-global-step cadence.
 #   setsid nohup bash tools/run_r4j_c51_brick.sh > runs_mujoco/r4j_lane.log 2>&1 &
 set -u
@@ -38,9 +40,9 @@ for attempt in 1 2 3 4 5 6 7 8; do
     [ -n "${SRC:-}" ] && LOAD="--load-from $SRC"
   fi
   echo "=== segment attempt=$attempt done=$DONE remain=$REMAIN load='${LOAD}' $(date -u +%H:%M:%S) ===" >> "$LOG"
-  python -u scripts/c51_rom.py --env-id brick_native --num-envs 16 \
-    --total-timesteps "$REMAIN" --buffer-size 100000 --batch-size 128 \
-    --learning-rate 2.5e-4 --train-frequency 1 --target-network-frequency 625 \
+  python -u scripts/c51_rom.py --env-id brick_native --num-envs 32 \
+    --total-timesteps "$REMAIN" --buffer-size 100000 --batch-size 256 \
+    --learning-rate 2.5e-4 --train-frequency 1 --target-network-frequency 313 \
     --learning-starts 20000 --exploration-fraction 0.10 --end-e 0.01 \
     --eval-steps 6000 --print-interval 2 --exp-name c51_brick_f --seed 1 \
     --save-interval 25 --save-dir saved_agents $LOAD \
