@@ -19,6 +19,9 @@ cd "$(dirname "$0")/.."
 
 TARGET=${DT_BRICK_TARGET:-45}
 CLIP=${DT_BRICK_CLIP:-56}
+COLLECT=${DT_BRICK_COLLECT:-65536}
+STEPS=${DT_BRICK_STEPS:-15000}
+EVAL=${DT_BRICK_EVAL:-51200}
 
 while ! grep -q "R4J LANE DONE" runs_mujoco/r4j_lane.log 2>/dev/null; do
   sleep 120
@@ -35,10 +38,10 @@ for attempt in 1 2 3; do
   echo "=== dt_brick_c51 attempt $attempt target=$TARGET clip=$CLIP from=$CKPT $(date -u +%H:%M:%S) ==="
   python -u scripts/dt_rom.py --env-id brick_native \
     --policy-from "$CKPT" --policy-kind c51 --policy-epsilon 0.1 \
-    --collect-envs 16 --collect-steps 65536 \
-    --total-steps 15000 --batch-size 64 --steps-per-dispatch 30 \
+    --collect-envs 32 --collect-steps "$COLLECT" \
+    --total-steps "$STEPS" --batch-size 64 --steps-per-dispatch 30 \
     --target-return "$TARGET" --rtg-clip "$CLIP" \
-    --eval-steps 51200 --print-interval 1200 \
+    --eval-steps "$EVAL" --print-interval 1200 \
     --exp-name dt_brick_c51 --seed 1 \
     >> runs_mujoco/dt_brick_c51.log 2>&1
   rc=$?
