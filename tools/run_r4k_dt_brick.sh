@@ -23,7 +23,8 @@ COLLECT=${DT_BRICK_COLLECT:-65536}
 STEPS=${DT_BRICK_STEPS:-15000}
 EVAL=${DT_BRICK_EVAL:-51200}
 
-while ! grep -q "R4J LANE DONE" runs_mujoco/r4j_lane.log 2>/dev/null; do
+# (marker fixed: r4j prints "R4J C51-BRICK LANE DONE", not "R4J LANE DONE")
+while ! grep -q "R4J .*LANE DONE" runs_mujoco/r4j_lane.log 2>/dev/null; do
   sleep 120
 done
 
