@@ -14,7 +14,9 @@ TOTAL=1000000
 LOG=runs_mujoco/dqn_brick_s2.log
 DONE=0
 if [ -f "$LOG" ]; then
-  DONE=$(awk -F'global_step=' '/^=== segment attempt/{seg=0} /global_step=/{split($2,a," "); seg=a[1]} /^=== segment-end/{sum+=seg; seg=0} END{print sum+seg}' "$LOG")
+  # A segment header implicitly closes any unterminated previous segment
+  # (reboot/kill can strike before the segment-end marker is written).
+  DONE=$(awk -F'global_step=' '/^=== segment attempt/{sum+=seg; seg=0} /global_step=/{split($2,a," "); seg=a[1]} /^=== segment-end/{sum+=seg; seg=0} END{print sum+seg}' "$LOG")
   DONE=${DONE:-0}
 fi
 
@@ -37,7 +39,9 @@ for attempt in 1 2 3 4 5 6 7 8; do
     --save-interval 25 --save-dir saved_agents $LOAD \
     >> "$LOG" 2>&1
   rc=$?
-  SEG=$(tail -200 "$LOG" | grep -o 'global_step=[0-9]*' | tail -1 | cut -d= -f2)
+  # Only count progress printed AFTER the most recent segment header — a
+  # zero-progress segment must not re-credit the previous segment's tail.
+  SEG=$(awk -F'global_step=' '/^=== segment attempt/{seg=0} /global_step=/{split($2,a," "); seg=a[1]} END{print seg+0}' "$LOG")
   SEG=${SEG:-0}
   echo "=== segment-end attempt=$attempt rc=$rc seg=$SEG $(date -u +%H:%M:%S) ===" >> "$LOG"
   DONE=$((DONE + SEG))
