@@ -313,6 +313,14 @@ def run_dqn_hostloop(
             # (params + target + opt) is worth writing to disk.
             save_run(runner.train_state, run_name, args.save_dir)
 
+    if getattr(args, "save_interval", 0):
+        # Final save BEFORE the eval phase: a short resume segment can end
+        # between two periodic save points (cadence save_interval*50 pool
+        # steps), and the eval loop is itself outage-prone over the tunnel —
+        # without this, the fully-trained net exists only in memory (this
+        # exact loss happened to the 1M DQN-BRICK final, 2026-08-20).
+        save_run(runner.train_state, run_name, args.save_dir)
+
     result = {
         "run_name": run_name,
         "global_step": gs,

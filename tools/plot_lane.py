@@ -35,20 +35,30 @@ def line_re(field):
     )
 
 
+SEGMENT_RE = re.compile(r"^=== segment attempt=\d+ done=(\d+) ")
+
+
 def parse_log(path, field="episodic_return"):
     steps, rets = [], []
     pat = line_re(field)
+    offset = 0
     with open(path, errors="replace") as f:
         for line in f:
+            seg = SEGMENT_RE.match(line)
+            if seg:
+                # Reboot-proof lanes restart global_step per segment; the
+                # ledger header carries the cumulative offset.
+                offset = int(seg.group(1))
+                continue
             m = pat.search(line)
             if not m or m.group(2) == "nan":
                 continue
-            steps.append(int(m.group(1)))
+            steps.append(offset + int(m.group(1)))
             rets.append(float(m.group(2)))
     if not steps:
         raise SystemExit(f"no curve lines found in {path}")
-    # Resumed lanes restart global_step logging mid-file; keep the longest
-    # monotone tail so the curve reads left-to-right.
+    # Non-ledger resumed lanes restart global_step logging mid-file with no
+    # header; a stable sort keeps the curve reading left-to-right.
     steps = np.asarray(steps)
     rets = np.asarray(rets)
     order = np.argsort(steps, kind="stable")

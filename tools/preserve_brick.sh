@@ -36,5 +36,6 @@ while true; do
   preserve brick_native__dqn_brick_f runs_mujoco/ckpt_brick_dqn
   preserve brick_native__c51_brick_f runs_mujoco/ckpt_brick_c51
   preserve brick_native__dqn_brick_s2 runs_mujoco/ckpt_brick_dqn_s2
+  preserve brick_native__c51_brick_s2 runs_mujoco/ckpt_brick_c51_s2
   sleep 300
 done
