@@ -46,6 +46,14 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--load-from", default="runs_mujoco/ckpt_rom_hl5")
     p.add_argument("--out", default="docs/assets/skelplus_rom.gif")
+    p.add_argument("--env-id", default="skeleton_plus_native",
+                   help="skeleton_plus_native | rally_native | brick_native")
+    p.add_argument("--policy-kind", default="ppo", choices=("ppo", "dqn", "c51"),
+                   help="checkpoint kind: recurrent PPO actor or hostloop_dqn "
+                        "value net (greedy argmax-Q, dt_rom.py loader semantics)")
+    p.add_argument("--n-atoms", type=int, default=51)
+    p.add_argument("--v-min", type=float, default=-10.0)
+    p.add_argument("--v-max", type=float, default=10.0)
     p.add_argument("--steps", type=int, default=1500, help="env-step cap")
     p.add_argument("--stride", type=int, default=3, help="keep every Nth frame")
     p.add_argument("--fps", type=int, default=20)
@@ -62,15 +70,30 @@ def main() -> None:
 
     from mmtrl_tpu.core.checkpoint import load_run
     from mmtrl_tpu.envs import make
-    from mmtrl_tpu.models import MultimodalRecurrentAgent
     from mmtrl_tpu.utils.video import write_gif
 
-    env = make("skeleton_plus_native", num_envs=1)
-    model = MultimodalRecurrentAgent(
-        num_actions=env.num_actions, conv_type="small", attn_type="casl",
-        fusion_type="sum", input_scale=1.0,
-    )
-    params = load_run(args.load_from)["train_state"]["params"]
+    env = make(args.env_id, num_envs=1)
+    restored = load_run(args.load_from)
+    if args.policy_kind == "ppo":
+        from mmtrl_tpu.models import MultimodalRecurrentAgent
+
+        model = MultimodalRecurrentAgent(
+            num_actions=env.num_actions, conv_type="small", attn_type="casl",
+            fusion_type="sum", input_scale=1.0,
+        )
+        params = restored["train_state"]["params"]
+    else:
+        # hostloop_dqn saves the raw DQNTrainState pytree: params at top level.
+        from mmtrl_tpu.models import DistributionalQNetwork, QNetwork
+
+        params = restored["params"]
+        if args.policy_kind == "dqn":
+            model = QNetwork(num_actions=env.num_actions, input_scale=1.0)
+        else:
+            model = DistributionalQNetwork(
+                num_actions=env.num_actions, n_atoms=args.n_atoms,
+                input_scale=1.0,
+            )
 
     raw_frames = []
     host_step = env._host_step
@@ -82,10 +105,26 @@ def main() -> None:
 
     env._host_step = tap
 
-    @jax.jit
-    def policy(params, obs, done, carry):
-        logits, _, carry = model.apply(params, obs[None], done[None], carry)
-        return jnp.argmax(logits[0], axis=-1), carry
+    if args.policy_kind == "ppo":
+
+        @jax.jit
+        def policy(params, obs, done, carry):
+            logits, _, carry = model.apply(params, obs[None], done[None], carry)
+            return jnp.argmax(logits[0], axis=-1), carry
+
+    elif args.policy_kind == "dqn":
+
+        @jax.jit
+        def policy(params, obs, done, carry):
+            return jnp.argmax(model.apply(params, obs), axis=-1), carry
+
+    else:
+        atoms = jnp.linspace(args.v_min, args.v_max, args.n_atoms)
+
+        @jax.jit
+        def policy(params, obs, done, carry):
+            q = (model.apply(params, obs) * atoms).sum(axis=-1)
+            return jnp.argmax(q, axis=-1), carry
 
     env_step = jax.jit(env.v_step)
 
@@ -93,7 +132,7 @@ def main() -> None:
     key, k_reset = jax.random.split(key)
     obs, env_state = env.v_reset(jax.random.split(k_reset, 1))
     done = jnp.zeros(1, dtype=bool)
-    carry = model.initial_carry(1)
+    carry = model.initial_carry(1) if args.policy_kind == "ppo" else None
     ep_return, t = 0.0, 0
     for t in range(args.steps):
         action, carry = policy(params, obs, done, carry)
