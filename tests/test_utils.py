@@ -71,3 +71,30 @@ def test_resume_manifest_roundtrip(tmp_path, monkeypatch):
     assert [r["run_name"] for r in crashed] == ["envA__exp__1__123"]
     cmd = resume_command(crashed[0])
     assert "scripts/ppo.py --seed 1" in cmd
+
+
+def test_plot_lane_segment_ledger_offsets(tmp_path):
+    # Reboot-proof lanes restart global_step per segment; parse_log must
+    # apply each ledger header's done= offset so resumed curves read as one
+    # cumulative x-axis (tools/run_r4j_c51_brick.sh header format).
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plot_lane import parse_log
+
+    log = tmp_path / "lane.log"
+    log.write_text(
+        "=== segment attempt=1 done=0 remain=100 load='' 00:00:00 ===\n"
+        "pool_step=1 global_step=10 episodic_return=1.0 score=1.0\n"
+        "pool_step=2 global_step=20 episodic_return=2.0 score=2.0\n"
+        "=== segment-end attempt=1 rc=1 seg=20 00:10:00 ===\n"
+        "=== segment attempt=2 done=20 remain=80 load='--load-from x' 00:20:00 ===\n"
+        "pool_step=1 global_step=10 episodic_return=3.0 score=3.0\n"
+        "pool_step=2 global_step=20 episodic_return=4.0 score=4.0\n"
+    )
+    steps, rets = parse_log(str(log))
+    assert steps.tolist() == [10, 20, 30, 40]
+    assert rets.tolist() == [1.0, 2.0, 3.0, 4.0]
+    steps_s, scores = parse_log(str(log), field="score")
+    assert steps_s.tolist() == [10, 20, 30, 40]
+    assert scores.tolist() == [1.0, 2.0, 3.0, 4.0]
