@@ -9,9 +9,9 @@ encoder + 6-layer GPT, B=64, K=30).
 
 Round-3 methodology upgrade: the measured unit is the END-TO-END training
 iteration — on-device TrajectoryBuffer window sample + fwd + bwd + fused
-clip-AdamW — run as ``make_dt_train_steps``: a ``lax.scan`` over 30
+clip-AdamW — run as ``make_dt_train_steps``: a ``lax.scan`` over 60
 iterations per dispatch (the XLA-native loop scripts/dt_minecraft.py
---scan-chunk uses).  One dispatch + one fetch per 30 steps amortizes the
+--scan-chunk uses).  One dispatch + one fetch per 60 steps amortizes the
 remote-tunnel fixed dispatch cost (~2.6 ms/call) and makes the number
 insensitive to host CPU contention.  This both includes MORE work than the
 round-2 flagship (which timed the bare step on a pre-staged batch) and
@@ -84,14 +84,20 @@ def main():
     from mmtrl_tpu.algos.dt.data import TrajectoryBuffer
     from mmtrl_tpu.models.decision_transformer import DTConfig
 
-    B, K = 64, 30
+    # Round-5 flagship config: the measured lever winners
+    # (tools/bench_flagship_levers.py, runs_mujoco/lever_*.log) — B=128
+    # (+12% over B=64: better MXU fill at S=90), 60 steps/dispatch (+4%:
+    # halves the per-dispatch fixed cost), bf16 LayerNorm compute (+2.7%:
+    # halves the HBM traffic of the 13 LN chains; loss parity checked in
+    # the lever logs).  Together: 572k vs 506k tokens/s back-to-back.
+    B, K = 128, 30
     T, N = 6144, 16  # 98k-transition buffer, flagship run dimensions
     state_shape = (2, 84, 84)
-    chunk = 30
+    chunk = 60
 
     cfg = DTConfig(
         num_actions=4, context_len=K, d_model=512, n_layers=6, n_heads=4,
-        dropout=0.1, max_timestep=64,
+        dropout=0.1, max_timestep=64, ln_dtype="bfloat16",
     )
     tcfg = DTTrainConfig(batch_size=B, total_steps=1000)
     key = jax.random.PRNGKey(0)
@@ -121,7 +127,7 @@ def main():
     # methodology).  The loss of chunk i depends on the whole chain of
     # states, so one final fetch times all iterations.
 
-    n_outer = 8  # 8 × 30 = 240 training steps timed
+    n_outer = 4  # 4 × 60 = 240 training steps timed
     t0 = time.perf_counter()
     for i in range(n_outer):
         state, m = steps(state, buffer, jax.random.fold_in(key, 1 + i))
@@ -135,7 +141,7 @@ def main():
         "value": round(tokens_per_sec, 1),
         "unit": (
             "tokens/sec (end-to-end: buffer sample + fwd+bwd+adamw, "
-            "lax.scan 30 steps/dispatch, B=64 K=30 d=512 L=6, bf16)"
+            "lax.scan 60 steps/dispatch, B=128 K=30 d=512 L=6, bf16)"
         ),
         "vs_baseline": round(tokens_per_sec / baseline, 1),
     }))

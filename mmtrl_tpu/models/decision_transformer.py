@@ -62,6 +62,24 @@ class DTConfig:
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_aux_coef: float = 0.01
+    # MoE token dispatch: 'dense' (GShard einsum) or 'gather' (capacity-
+    # based top-k — E/top_k fewer FFN FLOPs on one chip; see models/moe.py).
+    moe_dispatch: str = "dense"
+    # LayerNorm compute dtype.  float32 (default) keeps normalization
+    # statistics in full precision; bfloat16 halves the HBM traffic of the
+    # 13 LN read/write chains on the (B*S, d_model) activations — the
+    # elementwise cost the RESULTS.md floor argument names as HBM-bound.
+    # Measured flagship effect + convergence check: tools/bench_flagship_levers.py.
+    ln_dtype: str = "float32"
+    # Sequence-parallel attention: when set, the model is being traced
+    # INSIDE a shard_map whose ``seq_axis`` mesh axis shards the token
+    # dimension, and attention runs the ppermute ring
+    # (parallel/ring_attention.py) instead of the single-device kernel.
+    # Everything else in the block (LN, FFN, heads) is pointwise over
+    # tokens, so it needs no change under sequence sharding.  The axis
+    # size must be given statically (ring schedule length).
+    seq_axis: Optional[str] = None
+    seq_axis_size: int = 1
 
     @property
     def seq_len(self) -> int:
@@ -118,7 +136,16 @@ class CausalSelfAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)  # noqa: E731
-        o = causal_flash_attention(split(q), split(k), split(v))
+        if cfg.seq_axis is not None:
+            from mmtrl_tpu.parallel.ring_attention import _ring_attention_local
+
+            o = _ring_attention_local(
+                split(q), split(k), split(v),
+                axis_name=cfg.seq_axis, axis_size=cfg.seq_axis_size,
+                causal=True, scale=None,
+            )
+        else:
+            o = causal_flash_attention(split(q), split(k), split(v))
         o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
         o = nn.Dense(
             D, kernel_init=ortho(1.0), bias_init=ZEROS, dtype=dtype, name="out"
@@ -133,9 +160,9 @@ class Block(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
+        h = nn.LayerNorm(dtype=jnp.dtype(cfg.ln_dtype), name="ln1")(x).astype(dtype)
         x = x + CausalSelfAttention(cfg, name="attn")(h, deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
+        h = nn.LayerNorm(dtype=jnp.dtype(cfg.ln_dtype), name="ln2")(x).astype(dtype)
         if cfg.moe_experts:
             from mmtrl_tpu.models.moe import MoEFFN
 
@@ -145,6 +172,7 @@ class Block(nn.Module):
                 num_experts=cfg.moe_experts,
                 top_k=cfg.moe_top_k,
                 dtype=dtype,
+                dispatch=cfg.moe_dispatch,
                 name="moe",
             )(h)
         else:
@@ -216,7 +244,7 @@ class DecisionTransformer(nn.Module):
         )
         for i in range(cfg.n_layers):
             x = block_cls(cfg, name=f"block_{i}")(x, deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        x = nn.LayerNorm(dtype=jnp.dtype(cfg.ln_dtype), name="ln_f")(x)
 
         state_tokens = x[:, 1::3]  # outputs at state positions
         logits = nn.Dense(

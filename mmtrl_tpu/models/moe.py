@@ -68,6 +68,75 @@ def moe_ffn_dense(
     return jnp.einsum("bsed,bse->bsd", y, combine.astype(y.dtype))
 
 
+def moe_ffn_gather(
+    x: jnp.ndarray,  # (B, S, D)
+    gate_logits: jnp.ndarray,  # (B, S, E) float32
+    w1: jnp.ndarray,  # (E, D, F)
+    b1: jnp.ndarray,  # (E, F)
+    w2: jnp.ndarray,  # (E, F, D)
+    b2: jnp.ndarray,  # (E, D)
+    *,
+    top_k: int,
+    capacity_factor: float = 1.25,
+) -> jnp.ndarray:
+    """Capacity-based top-k dispatch (the Switch/GShard gather formulation).
+
+    Dense dispatch runs every expert on every token — E/top_k more FFN
+    FLOPs and an (B, S, E, F) HBM intermediate.  Here each token is routed
+    to its top-k experts' slot buffers (static capacity C per expert, so
+    all shapes stay compile-time constant): a cumsum over the one-hot
+    assignment yields each token's slot, one gather builds the (E, C, D)
+    expert inputs, the expert FFNs run as E-batched MXU matmuls over C
+    rows, and a scatter-add combines the weighted outputs.  Tokens routed
+    past an expert's capacity are dropped for that expert (standard MoE
+    semantics; with balanced routing and capacity_factor >= 1.25 drops are
+    rare, and capacity_factor >= E/top_k can never drop).
+
+    Matches moe_ffn_dense exactly whenever nothing is dropped
+    (tests/test_moe.py); one-chip measurement vs dense:
+    tools/bench_moe_dispatch.py.
+    """
+    B, S, D = x.shape
+    E = gate_logits.shape[-1]
+    F = w1.shape[-1]
+    T = B * S
+    # Static per-expert capacity, padded to the MXU's 128-row tile.
+    C = int(-(-T * top_k * capacity_factor // E))
+    C = min(-(-C // 128) * 128, T)
+
+    xt = x.reshape(T, D)
+    vals, idx = jax.lax.top_k(gate_logits.reshape(T, E), top_k)  # (T, k)
+    wts = jax.nn.softmax(vals, axis=-1)  # (T, k) f32
+    # Choice-major flattening: all 1st choices first, so first choices win
+    # slots before second choices when an expert fills up.
+    eid = idx.T.reshape(-1)  # (kT,)
+    tok = jnp.tile(jnp.arange(T, dtype=jnp.int32), (top_k,))
+    wf = wts.T.reshape(-1)
+    onehot = jax.nn.one_hot(eid, E, dtype=jnp.int32)  # (kT, E)
+    pos = jnp.sum((jnp.cumsum(onehot, axis=0) - 1) * onehot, axis=1)  # (kT,)
+    keep = pos < C
+    slot = jnp.where(keep, eid * C + pos, E * C)  # out-of-range -> dropped
+    token_for_slot = (
+        jnp.zeros((E * C,), jnp.int32).at[slot].set(tok, mode="drop")
+    )
+    weight_for_slot = (
+        jnp.zeros((E * C,), wf.dtype).at[slot].set(wf, mode="drop")
+    )
+
+    xin = xt[token_for_slot].reshape(E, C, D)
+    h = nn.gelu(jnp.einsum("ecd,edf->ecf", xin, w1) + b1[:, None])
+    y = jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None]
+    # Empty slots carry weight 0: their (gelu(b1) @ w2 + b2) garbage rows
+    # vanish before the combine.
+    y = y * weight_for_slot.astype(y.dtype).reshape(E, C, 1)
+    out = (
+        jnp.zeros((T, D), y.dtype)
+        .at[token_for_slot]
+        .add(y.reshape(E * C, D))
+    )
+    return out.reshape(B, S, D)
+
+
 def load_balance_aux(gate_probs: jnp.ndarray, combine: jnp.ndarray) -> jnp.ndarray:
     """Switch-style aux loss: E * sum_e(mean token fraction_e * mean prob_e).
 
@@ -97,6 +166,12 @@ class MoEFFN(nn.Module):
     num_experts: int
     top_k: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    # 'dense' (GShard einsum: all experts on all tokens, no gather/scatter)
+    # or 'gather' (capacity-based top-k dispatch: E/top_k fewer FFN FLOPs,
+    # may drop tokens past capacity).  Measured one-chip comparison:
+    # tools/bench_moe_dispatch.py.
+    dispatch: str = "dense"
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,11 +193,15 @@ class MoEFFN(nn.Module):
         b1 = self.param("experts_b1", ZEROS, (E, F), jnp.float32)
         w2 = self.param("experts_w2", init, (E, F, D), jnp.float32)
         b2 = self.param("experts_b2", ZEROS, (E, D), jnp.float32)
-        return moe_ffn_dense(
-            x.astype(self.dtype),
-            combine,
-            w1.astype(self.dtype),
-            b1.astype(self.dtype),
-            w2.astype(self.dtype),
-            b2.astype(self.dtype),
+        ws = (
+            w1.astype(self.dtype), b1.astype(self.dtype),
+            w2.astype(self.dtype), b2.astype(self.dtype),
         )
+        if self.dispatch == "gather":
+            return moe_ffn_gather(
+                x.astype(self.dtype), gate_logits, *ws,
+                top_k=self.top_k, capacity_factor=self.capacity_factor,
+            )
+        if self.dispatch != "dense":
+            raise ValueError(f"unknown MoE dispatch {self.dispatch!r}")
+        return moe_ffn_dense(x.astype(self.dtype), combine, *ws)

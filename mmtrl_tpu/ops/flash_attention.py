@@ -51,28 +51,35 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 # =============================================================================
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k, scale):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+    q = q_ref[0]  # (Bq, D) — kept in the stored dtype: bf16 inputs run the
+    # MXU at its native bf16 rate (f32 upcasts measured ~4x slower); the
+    # scale and the softmax recurrence stay in f32 via the accumulator type.
     num_kb = pl.cdiv((qi + 1) * block_q, block_k)  # causal horizon
+    # k blocks strictly below the diagonal need no mask — splitting the loop
+    # removes the iota+where VPU pass from all but the diagonal block(s).
+    num_full = (qi * block_q) // block_k
 
     q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
-    def body(j, carry):
+    def body(j, carry, masked):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Bq, Bk)
-        k_ids = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        )  # (Bq, Bk) f32
+        if masked:
+            k_ids = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 
@@ -80,7 +87,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k, scale)
     acc = jnp.zeros((block_q, d), dtype=jnp.float32)
     m = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
     l = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m, l))
+    carry = jax.lax.fori_loop(
+        0, num_full, lambda j, c: body(j, c, masked=False), (acc, m, l)
+    )
+    acc, m, l = jax.lax.fori_loop(
+        num_full, num_kb, lambda j, c: body(j, c, masked=True), carry
+    )
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)  # (Bq, 1)
 
@@ -134,33 +146,41 @@ def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_q, block_k, scale
 ):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # native dtype for MXU-rate dots; scale applied to scores
+    do = do_ref[0]
     lse = lse_ref[0]  # (Bq, 1)
     delta = delta_ref[0]  # (Bq, 1)
     num_kb = pl.cdiv((qi + 1) * block_q, block_k)
+    num_full = (qi * block_q) // block_k
     q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
-    def body(j, dq_acc):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+    def body(j, dq_acc, masked):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        k_ids = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        p = jnp.where(q_ids >= k_ids, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)
+        if masked:
+            k_ids = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            p = jnp.where(q_ids >= k_ids, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         return dq_acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
+    zero = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
     dq = jax.lax.fori_loop(
-        0, num_kb, body, jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+        0, num_full, lambda j, a: body(j, a, masked=False), zero
+    )
+    dq = jax.lax.fori_loop(
+        num_full, num_kb, lambda j, a: body(j, a, masked=True), dq
     )
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
@@ -170,43 +190,56 @@ def _dkv_kernel(
     *, block_q, block_k, scale,
 ):
     kj = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # native dtype — see _fwd_kernel note
+    v = v_ref[0]
     seq_len = q_ref.shape[1]
     num_qb = pl.cdiv(seq_len, block_q)
     first_qb = (kj * block_k) // block_q  # earlier q blocks are fully masked
+    # q blocks whose smallest q id >= this kv block's largest k id see the
+    # whole block: no mask needed from there on.
+    first_full = pl.cdiv((kj + 1) * block_k - 1, block_q)
     k_ids = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    def body(i, carry):
+    def body(i, carry, masked):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]  # (Bq, 1)
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        q_ids = i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        p = jnp.where(q_ids >= k_ids, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)
+        if masked:
+            q_ids = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            p = jnp.where(q_ids >= k_ids, p, 0.0)
+        pc = p.astype(do.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return dk_acc, dv_acc
 
     d = k_ref.shape[-1]
     zeros = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(first_qb, num_qb, body, (zeros, zeros))
-    # dk already includes the q-side scale; no extra factor.
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    clamp_full = jnp.minimum(first_full, num_qb)
+    carry = jax.lax.fori_loop(
+        first_qb, clamp_full, lambda i, c: body(i, c, masked=True), (zeros, zeros)
+    )
+    dk, dv = jax.lax.fori_loop(
+        clamp_full, num_qb, lambda i, c: body(i, c, masked=False), carry
+    )
+    # the score scale is applied post-dot, so dk needs the same factor dq got
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
