@@ -23,11 +23,31 @@ def _path(save_dir: str, run_name: str) -> str:
 
 
 def save_run(state: Any, run_name: str, save_dir: str = "saved_agents") -> str:
-    """Save a training-state PyTree; overwrites any previous save of the run."""
+    """Save a training-state PyTree; overwrites any previous save of the run.
+
+    Crash-safe: the tree is written to a temp sibling and swapped in with
+    two renames, so a kill mid-save leaves the previous checkpoint intact
+    (previously ``force=True`` deleted it before writing — a periodic save
+    interrupted at the wrong moment destroyed the only on-disk copy; the
+    round-4 BRICK finals survived only via external preserve copies).
+    The ``_tmp_``/``_old_`` prefixes keep the transient dirs out of the
+    lane scripts' ``<run_name>*`` checkpoint globs.
+    """
     path = _path(save_dir, run_name)
+    tmp = _path(save_dir, f"_tmp_{run_name}")
+    old = _path(save_dir, f"_old_{run_name}")
     os.makedirs(save_dir, exist_ok=True)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.save(tmp, jax.device_get(state), force=True)
+    import shutil
+
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     print(f"saved run to {path}")
     return path
 

@@ -173,9 +173,42 @@ class Tuner:
         lo, hi = rng
         return (value - lo) / (hi - lo)
 
-    def tune(self, num_trials: int, num_seeds: int) -> list:
+    def _load_completed(self) -> dict:
+        """Trial records already in the storage journal, by trial index.
+
+        Trial params are a pure function of the trial index (van der Corput
+        stratification), so a study interrupted between trials can resume
+        by skipping recorded indices — the remaining trials sample exactly
+        the points they would have originally (used by the round-5
+        completion of the 6/10-trial 5M transfer sweep).
+        """
+        import json
+
+        done = {}
+        if os.path.exists(self.storage):
+            with open(self.storage) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("score") is not None:
+                        done[rec["trial"]] = rec
+        return done
+
+    def tune(self, num_trials: int, num_seeds: int, resume: bool = False) -> list:
         results = []
+        skip = self._load_completed() if resume else {}
+        for rec in sorted(skip.values(), key=lambda r: r["trial"]):
+            self.history.append(rec["score"])
+            results.append(rec)
+            print(f"trial {rec['trial']}: resumed from storage, score={rec['score']:.4f}")
         for trial_idx in range(num_trials):
+            if trial_idx in skip:
+                continue
             trial = Trial(
                 number=trial_idx,
                 rng_value=lambda i, t=trial_idx: _van_der_corput(

@@ -98,3 +98,42 @@ def test_restore_across_topologies(tmp_path):
     np.testing.assert_allclose(
         float(m_ref["dt/loss"]), float(m_new["dt/loss"]), atol=2e-5, rtol=2e-5
     )
+
+
+def test_save_run_interrupted_save_preserves_previous(tmp_path, monkeypatch):
+    """A save that dies mid-write must leave the previous checkpoint
+    restorable (the two-rename swap in core/checkpoint.py): previously
+    force=True deleted the old tree before writing the new one."""
+    import orbax.checkpoint as ocp
+
+    from mmtrl_tpu.core.checkpoint import load_run, save_run
+
+    tree = {"w": jnp.arange(4.0), "step": jnp.int32(1)}
+    path = save_run(tree, "run_a", str(tmp_path))
+    # Second save is killed mid-write: the temp dir gets partial content
+    # and the process dies before any rename.
+    real_save = ocp.PyTreeCheckpointer.save
+
+    def dying_save(self, p, *a, **k):
+        raise RuntimeError("simulated kill mid-save")
+
+    monkeypatch.setattr(ocp.PyTreeCheckpointer, "save", dying_save)
+    try:
+        save_run({"w": jnp.zeros(4), "step": jnp.int32(2)}, "run_a", str(tmp_path))
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ocp.PyTreeCheckpointer, "save", real_save)
+    restored = load_run(path)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0))
+
+    # A successful re-save replaces content and leaves no transient dirs.
+    save_run({"w": jnp.full(4, 7.0), "step": jnp.int32(3)}, "run_a", str(tmp_path))
+    restored = load_run(path)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.full(4, 7.0))
+    import os as _os
+
+    leftovers = [
+        p for p in _os.listdir(tmp_path)
+        if p.startswith("_tmp_") or p.startswith("_old_")
+    ]
+    assert leftovers == [], leftovers

@@ -34,3 +34,48 @@ def test_tuner_one_trial(tmp_path, monkeypatch):
     assert len(results) == 1
     assert results[0]["score"] > -float("inf")
     assert "learning-rate" in results[0]["params"]
+
+
+def test_tuner_resume_skips_recorded_trials(tmp_path):
+    """resume=True seeds history from the storage journal and re-runs only
+    the missing trial indices with their original (index-deterministic)
+    parameter points — the round-5 sweep-completion mechanism."""
+    import json
+
+    from mmtrl_tpu.utils.tuner import Trial, Tuner, _PRIMES, _van_der_corput
+
+    storage = tmp_path / "study.log"
+    # Pretend trials 0 and 2 already ran.
+    storage.write_text(
+        json.dumps({"trial": 0, "params": {"x": 1}, "score": 0.5}) + "\n"
+        + json.dumps({"trial": 2, "params": {"x": 3}, "score": 0.7}) + "\n"
+        + json.dumps({"trial": 9, "params": {"x": 9}, "score": None}) + "\n"
+    )
+    ran = []
+
+    class _T(Tuner):
+        def _run_script(self, argv):
+            ran.append(argv)
+            return 1.0
+
+    tuner = _T(
+        script="unused",
+        metric="m",
+        target_scores={"env": (0.0, 2.0)},
+        params_fn=lambda trial: {
+            "lr": trial.suggest_float("lr", 0.1, 1.0),
+            "total-timesteps": 8,
+        },
+        storage=str(storage),
+    )
+    results = tuner.tune(num_trials=4, num_seeds=1, resume=True)
+    assert len(results) == 4
+    by_trial = {r["trial"]: r for r in results}
+    # Resumed trials keep their recorded scores; only 1 and 3 executed.
+    assert by_trial[0]["score"] == 0.5 and by_trial[2]["score"] == 0.7
+    assert len(ran) == 2
+    # The re-run trial's parameter point is the index-deterministic one.
+    expected_lr = 0.1 + _van_der_corput(2, _PRIMES[0]) * 0.9
+    assert abs(by_trial[1]["params"]["lr"] - expected_lr) < 1e-12
+    # The null-score (failed) record is NOT treated as done.
+    assert 9 not in by_trial

@@ -92,9 +92,10 @@ def test_plot_lane_segment_ledger_offsets(tmp_path):
         "pool_step=1 global_step=10 episodic_return=3.0 score=3.0\n"
         "pool_step=2 global_step=20 episodic_return=4.0 score=4.0\n"
     )
-    steps, rets = parse_log(str(log))
+    steps, rets, resumed = parse_log(str(log))
     assert steps.tolist() == [10, 20, 30, 40]
     assert rets.tolist() == [1.0, 2.0, 3.0, 4.0]
-    steps_s, scores = parse_log(str(log), field="score")
+    assert resumed  # done>0 segment header seen -> caption notes the overlap
+    steps_s, scores, _ = parse_log(str(log), field="score")
     assert steps_s.tolist() == [10, 20, 30, 40]
     assert scores.tolist() == [1.0, 2.0, 3.0, 4.0]

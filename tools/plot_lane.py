@@ -62,7 +62,7 @@ def parse_log(path, field="episodic_return"):
     steps = np.asarray(steps)
     rets = np.asarray(rets)
     order = np.argsort(steps, kind="stable")
-    return steps[order], rets[order]
+    return steps[order], rets[order], offset > 0
 
 
 def main():
@@ -87,9 +87,11 @@ def main():
     # are assigned in order, never cycled — keep panels to <= 4 series.
     palette = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=120)
+    any_resumed = False
     for i, entry in enumerate(args.series):
         path, _, label = entry.partition(":")
-        steps, rets = parse_log(path, args.field)
+        steps, rets, resumed = parse_log(path, args.field)
+        any_resumed = any_resumed or resumed
         label = label or os.path.basename(path).removesuffix(".log")
         color = palette[i % len(palette)]
         ax.plot(steps, smooth(rets, args.smooth), linewidth=1.8,
@@ -98,7 +100,17 @@ def main():
     if args.hline is not None:
         ax.axhline(args.hline, linestyle="--", color="gray", linewidth=1.0,
                    label=args.hline_label)
-    ax.set_xlabel("global step")
+    ax.set_xlabel(
+        "global step"
+        + (
+            # The ledger's done= counts the last PRINTED step of the prior
+            # segment; the checkpoint actually restored can be up to one
+            # save interval older, so resumed curves may overlap slightly.
+            " (cumulative across resume segments; \u2264 1 save-interval overlap)"
+            if any_resumed
+            else ""
+        )
+    )
     ax.set_ylabel(args.ylabel)
     if args.title:
         ax.set_title(args.title)

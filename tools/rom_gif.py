@@ -74,6 +74,24 @@ def main() -> None:
 
     env = make(args.env_id, num_envs=1)
     restored = load_run(args.load_from)
+    # Fail with a clear message on a kind/checkpoint mismatch instead of an
+    # opaque KeyError('params')/flax shape error downstream: PPO runs save
+    # {'train_state': {...}}, the hostloop value trainers save the raw
+    # DQNTrainState with 'params' at top level.
+    looks_ppo = isinstance(restored, dict) and "train_state" in restored
+    looks_value = isinstance(restored, dict) and "params" in restored
+    if args.policy_kind == "ppo" and not looks_ppo:
+        raise SystemExit(
+            f"--policy-kind ppo but {args.load_from} has top-level keys "
+            f"{sorted(restored)} (expected 'train_state'). Hostloop DQN/C51 "
+            "checkpoints need --policy-kind dqn|c51."
+        )
+    if args.policy_kind != "ppo" and not looks_value:
+        raise SystemExit(
+            f"--policy-kind {args.policy_kind} but {args.load_from} has "
+            f"top-level keys {sorted(restored)} (expected 'params'). PPO "
+            "checkpoints need --policy-kind ppo."
+        )
     if args.policy_kind == "ppo":
         from mmtrl_tpu.models import MultimodalRecurrentAgent
 

@@ -68,7 +68,7 @@ def main():
         storage=os.path.join(REPO, "runs_tuner", "ppg_transfer_study.log"),
         study_name="ppg_transfer",
     )
-    results = tuner.tune(num_trials=num_trials, num_seeds=1)
+    results = tuner.tune(num_trials=num_trials, num_seeds=1, resume=True)
     results.sort(key=lambda r: r["score"], reverse=True)
     print("\n=== transfer sweep results (best first) ===")
     for r in results:
