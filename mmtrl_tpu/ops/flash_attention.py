@@ -338,8 +338,8 @@ def causal_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = 0,
+    block_k: int = 0,
     force_pallas: bool = False,
 ) -> jnp.ndarray:
     """Causal multi-head attention, (B, H, S, D) -> (B, H, S, D).
@@ -352,6 +352,10 @@ def causal_flash_attention(
     outside the custom VJP.  Falls back to the fused-jnp reference off-TPU
     and below the crossover.
     """
+    # 0 -> the module-level defaults, resolved at call time so benchmark
+    # sweeps (tools/bench_flash_blocks.py) can patch DEFAULT_BLOCK_Q/K.
+    block_q = block_q or DEFAULT_BLOCK_Q
+    block_k = block_k or DEFAULT_BLOCK_K
     s = q.shape[-2]
     on_tpu = jax.default_backend() == "tpu"
     if not (force_pallas or (on_tpu and s >= PALLAS_MIN_SEQ)):
