@@ -72,6 +72,10 @@ class Args:
     remat: bool = field(False, "rematerialize block activations")
     moe_experts: int = field(0, "MoE FFN experts per block (0: dense FFN)")
     moe_top_k: int = field(2, "MoE router top-k")
+    moe_dispatch: str = field(
+        "dense", "MoE token dispatch: 'dense' (GShard einsum) or 'gather' "
+        "(capacity-based top-k, models/moe.py)"
+    )
     learning_rate: float = field(6e-4, "peak LR")
     warmup_steps: int = field(512, "LR warmup steps")
     total_steps: int = field(15000, "offline training steps")
@@ -227,6 +231,7 @@ def main(args=None):
             remat=args.remat,
             moe_experts=args.moe_experts,
             moe_top_k=args.moe_top_k,
+            moe_dispatch=args.moe_dispatch,
         )
         train_cfg = DTTrainConfig(
             learning_rate=args.learning_rate,

@@ -42,11 +42,17 @@ def run(variant: str) -> None:
     from mmtrl_tpu.algos.dt.data import TrajectoryBuffer
     from mmtrl_tpu.models.decision_transformer import DTConfig
 
-    B = 128 if variant.startswith("b128") else 64
+    B = 64
+    if variant.startswith("b128"):
+        B = 128
+    elif variant.startswith("b256"):
+        B = 256
     K = 30
-    chunk = 60 if variant in ("chunk60", "b128_comb") else 30
+    chunk = 60 if variant in ("chunk60", "b128_comb", "b256_comb") else 30
     ln_dtype = (
-        "bfloat16" if variant in ("ln_bf16", "b128_comb") else "float32"
+        "bfloat16"
+        if variant in ("ln_bf16", "b128_comb", "b256_comb")
+        else "float32"
     )
     dropout = 0.0 if variant == "nodrop" else 0.1
 
