@@ -87,3 +87,36 @@ def test_padded_non_divisible_seq_fwd_bwd():
     for a, b in zip(g_fl, g_hp):
         rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
         assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("blocks", [(256, 256), (256, 512), (128, 512)])
+def test_nondefault_block_sizes_fwd_bwd(blocks):
+    """The block-size sweep (tools/bench_flash_blocks.py) relies on
+    non-default (block_q, block_k) being numerically identical paths —
+    forward AND the custom-VJP backward (round-5 verdict item 3)."""
+    from mmtrl_tpu.ops.flash_attention import causal_flash_attention
+
+    bq, bk = blocks
+    key = jax.random.PRNGKey(3)
+    shape = (1, 2, 1024, 128)
+    q, k, v = (
+        jax.random.normal(k_, shape, jnp.float32)
+        for k_ in jax.random.split(key, 3)
+    )
+    o = causal_flash_attention(q, k, v, block_q=bq, block_k=bk, force_pallas=True)
+    ref = hp_reference(q, k, v)
+    assert float(jnp.abs(o - ref).max()) < 0.05
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    g = jax.grad(
+        loss(lambda q, k, v: causal_flash_attention(
+            q, k, v, block_q=bq, block_k=bk, force_pallas=True
+        )),
+        (0, 1, 2),
+    )(q, k, v)
+    g_ref = jax.grad(loss(hp_reference), (0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        denom = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / denom < 0.01
