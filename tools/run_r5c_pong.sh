@@ -13,6 +13,13 @@ cd "$(dirname "$0")/.."
 TOTAL=${PONG_TOTAL:-1000000}
 LOG=runs_mujoco/pong_ma_s2.log
 EXP=pong_ma_s2
+# Host RSS grows ~1 MB per pool iteration while a lane runs over the axon
+# tunnel (client-side buffering, measured round 5 — the native env and the
+# CPU-backend loop are clean), and a wedged client balloons unboundedly
+# during tunnel outages (61->114 GB in 20 min killed the round-5 BRICK
+# segment).  Recycle the python process every SEGMENT steps so RSS stays
+# bounded; the ledger + checkpoint resume make this free.
+SEGMENT=${PONG_SEGMENT:-400000}
 
 DONE=0
 if [ -f "$LOG" ]; then
@@ -20,9 +27,10 @@ if [ -f "$LOG" ]; then
   DONE=${DONE:-0}
 fi
 
-for attempt in 1 2 3 4 5 6; do
+for attempt in 1 2 3 4 5 6 7 8 9 10; do
   REMAIN=$((TOTAL - DONE))
   [ "$REMAIN" -le 0 ] && break
+  [ "$REMAIN" -gt "$SEGMENT" ] && REMAIN=$SEGMENT
   bash tools/wait_tpu.sh
   LOAD=""
   if [ "$DONE" -gt 0 ]; then
@@ -50,8 +58,8 @@ for attempt in 1 2 3 4 5 6; do
   SEG=${SEG:-0}
   echo "=== segment-end attempt=$attempt rc=$rc seg=$SEG $(date -u +%H:%M:%S) ===" >> "$LOG"
   DONE=$((DONE + SEG))
-  [ "$rc" -eq 0 ] && break
-  sleep 60
+  # rc==0 ends a capped segment, not the run: loop until DONE >= TOTAL.
+  [ "$rc" -ne 0 ] && sleep 60
 done
 echo "R5C PONG TRAIN DONE done=$DONE"
 
