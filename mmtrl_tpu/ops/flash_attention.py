@@ -352,11 +352,23 @@ def causal_flash_attention(
     outside the custom VJP.  Falls back to the fused-jnp reference off-TPU
     and below the crossover.
     """
-    # 0 -> the module-level defaults, resolved at call time so benchmark
-    # sweeps (tools/bench_flash_blocks.py) can patch DEFAULT_BLOCK_Q/K.
+    # 0 -> auto-select, resolved at call time so benchmark sweeps
+    # (tools/bench_flash_blocks.py) can patch DEFAULT_BLOCK_Q/K.  The
+    # round-5 block sweep (runs_mujoco/flash_blocks_s2048.log) measured
+    # 512x512 running the fwd+bwd kernel ~2x faster than the original
+    # 128x128 at S=2048 (3.49 vs 6.82 ms at B=8 H=4 D=128): larger blocks
+    # amortize grid overhead and keep the MXU on longer contractions.
+    # Padding rounds S up to a whole block, so cap the block where padded
+    # FLOPs (~(s_pad/s)^2) would eat the win; below the cap fall back to
+    # the module defaults (which the sweep can still patch).
+    s = q.shape[-2]
+    if not (block_q or block_k):
+        for b in (512, 256):
+            if (-(-s // b) * b) / s <= 1.13:
+                block_q = block_k = b
+                break
     block_q = block_q or DEFAULT_BLOCK_Q
     block_k = block_k or DEFAULT_BLOCK_K
-    s = q.shape[-2]
     on_tpu = jax.default_backend() == "tpu"
     if not (force_pallas or (on_tpu and s >= PALLAS_MIN_SEQ)):
         return mha_reference(q, k, v)

@@ -118,13 +118,20 @@ def main():
 
     dt_full, _ = bench_variant("full", cfg, B, K, args.iters, key)
 
-    # Patch attention to identity: measures the rest of the model.
-    orig = fa.causal_flash_attention
-    fa.causal_flash_attention = lambda q, k, v, **kw: v
+    # Patch attention to identity: measures the rest of the model.  The
+    # model binds the symbol at import (`from ops.flash_attention import
+    # causal_flash_attention`, decision_transformer.py:34), so patch the
+    # MODEL module's binding — patching fa.* alone does nothing (the
+    # first run of this tool measured no-attn == full for exactly that
+    # reason; that output is void).
+    import mmtrl_tpu.models.decision_transformer as dtm
+
+    orig = dtm.causal_flash_attention
+    dtm.causal_flash_attention = lambda q, k, v, **kw: v
     try:
         dt_rest, _ = bench_variant("no-attn", cfg, B, K, args.iters, key)
     finally:
-        fa.causal_flash_attention = orig
+        dtm.causal_flash_attention = orig
 
     dt_kf, dt_kfb = bench_kernel(B, H, S, Dh, args.iters)
 
